@@ -1,0 +1,7 @@
+from . import block, compile, graph, runtime, stream
+from .block import (Block, SyncBlock, DecimBlock, InterpBlock, SourceBlock,
+                    SinkBlock)
+from .graph import Flowgraph
+from .compile import CompiledGraph
+from .runtime import TopBlock
+from .stream import PortSpec, port

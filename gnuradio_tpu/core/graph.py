@@ -1,0 +1,208 @@
+"""Flowgraph: edge list, validation, topological sort, rate unification.
+
+Reference parity: gnuradio-runtime/lib/flowgraph.cc — `connect` type checks
+(:45-48), `validate`/`check_contiguity` (:68,81-85), `topological_sort`
+(:382). The reference validates byte-size equality between connected ports;
+we validate dtype + vlen. Where the reference's scheduler negotiates chunk
+sizes at runtime (forecast loop, block_executor.cc:423-449), we *unify
+rational rates* across the graph once: every block gets a ticks-per-step
+rational, and the step size is scaled so all per-edge item counts are
+integers. That is the whole static replacement for forecast().
+"""
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from math import gcd
+
+from .block import Block, SinkBlock, SourceBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class Endpoint:
+    block: Block
+    port: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Edge:
+    src: Endpoint
+    dst: Endpoint
+
+
+def _as_endpoint(x, default_port=0) -> Endpoint:
+    if isinstance(x, Endpoint):
+        return x
+    if isinstance(x, Block):
+        return Endpoint(x, default_port)
+    if isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], Block):
+        return Endpoint(x[0], int(x[1]))
+    raise TypeError(f"cannot interpret {x!r} as a graph endpoint")
+
+
+class Flowgraph:
+    """Edge-list graph of Blocks with gr-style connect sugar.
+
+    `fg.connect(a, b, c)` chains a->b->c on port 0 (like
+    python/gnuradio/gr/hier_block2.py:17-52's varargs connect); explicit ports
+    via `(block, port)` tuples.
+    """
+
+    def __init__(self):
+        self.edges: list[Edge] = []
+        self._blocks: list[Block] = []  # insertion order
+
+    # ---- construction ----
+    def add(self, *blocks: Block):
+        for b in blocks:
+            if b not in self._blocks:
+                self._blocks.append(b)
+        return blocks[0] if len(blocks) == 1 else blocks
+
+    def connect(self, *points):
+        if len(points) == 1:
+            self.add(_as_endpoint(points[0]).block)
+            return
+        for a, b in zip(points[:-1], points[1:]):
+            self._connect_pair(_as_endpoint(a), _as_endpoint(b))
+
+    def _connect_pair(self, src: Endpoint, dst: Endpoint):
+        sb, sp, db, dp = src.block, src.port, dst.block, dst.port
+        if sp >= sb.nout:
+            raise ValueError(f"{sb} has no output port {sp}")
+        if dp >= db.nin:
+            raise ValueError(f"{db} has no input port {dp}")
+        sspec, dspec = sb.out_ports[sp], db.in_ports[dp]
+        if (sspec.dtype != dspec.dtype) or (sspec.vlen != dspec.vlen):
+            raise ValueError(
+                f"type mismatch connecting {sb}:{sp} ({sspec}) -> {db}:{dp} ({dspec})")
+        for e in self.edges:
+            if e.dst == dst:
+                raise ValueError(f"input {db}:{dp} already connected")
+        self.add(sb, db)
+        self.edges.append(Edge(src, dst))
+
+    def disconnect_all(self):
+        self.edges = []
+        self._blocks = []
+
+    # ---- queries ----
+    @property
+    def blocks(self) -> list[Block]:
+        return list(self._blocks)
+
+    def in_edges(self, b: Block) -> list[Edge]:
+        return sorted((e for e in self.edges if e.dst.block is b),
+                      key=lambda e: e.dst.port)
+
+    def out_edges(self, b: Block) -> list[Edge]:
+        return [e for e in self.edges if e.src.block is b]
+
+    # ---- validation (flowgraph.cc:68-122 analog) ----
+    def validate(self):
+        for b in self._blocks:
+            connected_in = {e.dst.port for e in self.in_edges(b)}
+            if connected_in != set(range(b.nin)):
+                missing = set(range(b.nin)) - connected_in
+                raise ValueError(f"{b}: unconnected input ports {sorted(missing)}")
+            # outputs may legitimately dangle in gr only for hier pads; here
+            # every output must be consumed or the block be a sink
+            connected_out = {e.src.port for e in self.out_edges(b)}
+            missing_out = set(range(b.nout)) - connected_out
+            if missing_out:
+                raise ValueError(f"{b}: unconnected output ports {sorted(missing_out)}")
+        if not any(isinstance(b, SourceBlock) or b.nin == 0 for b in self._blocks):
+            raise ValueError("flowgraph has no source blocks")
+
+    # ---- topo sort (flowgraph.cc:382 analog; Kahn) ----
+    def topological_sort(self) -> list[Block]:
+        indeg = {b: 0 for b in self._blocks}
+        for e in self.edges:
+            indeg[e.dst.block] += 1
+        # stable order: seed with insertion order
+        ready = [b for b in self._blocks if indeg[b] == 0]
+        order = []
+        while ready:
+            b = ready.pop(0)
+            order.append(b)
+            for e in self.out_edges(b):
+                indeg[e.dst.block] -= 1
+                if indeg[e.dst.block] == 0:
+                    ready.append(e.dst.block)
+        if len(order) != len(self._blocks):
+            raise ValueError("flowgraph contains a stream cycle (unsupported: "
+                             "feedback must live inside a block's scan state)")
+        return order
+
+    # ---- rate unification: the static forecast() ----
+    def solve_rates(self) -> dict:
+        """Assign each block a ticks-per-step Fraction t_b such that for every
+        edge, items(src) == items(dst): t_src*out_rate[p] == t_dst*in_rate[q].
+
+        Returns {block: Fraction}. Raises on inconsistency (the analog of a
+        flowgraph the reference scheduler would deadlock/starve on).
+        """
+        t: dict[Block, Fraction] = {}
+        order = self.topological_sort()
+        if not order:
+            return {}
+        # BFS over undirected connectivity, unifying constraints
+        t[order[0]] = Fraction(1)
+        pending = [order[0]]
+        adj: dict[Block, list] = {b: [] for b in self._blocks}
+        for e in self.edges:
+            adj[e.src.block].append(("out", e))
+            adj[e.dst.block].append(("in", e))
+        while pending:
+            b = pending.pop()
+            for kind, e in adj[b]:
+                sb, db = e.src.block, e.dst.block
+                orate = sb.out_rates[e.src.port]
+                irate = db.in_rates[e.dst.port]
+                if orate <= 0 or irate <= 0:
+                    raise ValueError(f"non-positive rate on edge {e}")
+                if kind == "out":
+                    want = t[sb] * orate / irate
+                    if db in t:
+                        if t[db] != want:
+                            raise ValueError(
+                                f"rate mismatch at {db}: {t[db]} vs {want} via {sb}")
+                    else:
+                        t[db] = want
+                        pending.append(db)
+                else:
+                    want = t[db] * irate / orate
+                    if sb in t:
+                        if t[sb] != want:
+                            raise ValueError(
+                                f"rate mismatch at {sb}: {t[sb]} vs {want} via {db}")
+                    else:
+                        t[sb] = want
+                        pending.append(sb)
+        missing = [b for b in self._blocks if b not in t]
+        if missing:
+            raise ValueError(f"disconnected blocks (no rate path): {missing}")
+        return t
+
+    def natural_step(self) -> int:
+        """Smallest step multiplier S (in 'ticks' of the unification anchor)
+        such that every per-edge and per-port item count is a positive integer
+        and every block's output_multiple is honored."""
+        t = self.solve_rates()
+        denom_lcm = 1
+        for b, tb in t.items():
+            for r in tuple(b.in_rates) + tuple(b.out_rates):
+                q = tb * r
+                denom_lcm = denom_lcm * q.denominator // gcd(denom_lcm, q.denominator)
+        S = denom_lcm
+        # honor output_multiple: n_out = S * t_b * out_rate must be a multiple
+        for b, tb in t.items():
+            for r in b.out_rates:
+                if b.output_multiple > 1:
+                    n = S * tb * r
+                    assert n.denominator == 1
+                    n = n.numerator
+                    m = b.output_multiple
+                    need = m // gcd(n, m)
+                    S *= need
+        return int(S)

@@ -1,0 +1,131 @@
+"""TopBlock — the host streaming loop (the entire residual 'scheduler').
+
+Reference parity: gr::top_block start/run/wait lifecycle
+(gnuradio-runtime/lib/top_block_impl.cc:95-155, python top_block.py:95-115).
+All the reference's runtime machinery (thread-per-block, condition-variable
+wakeups, forecast negotiation) collapses here to:
+
+    while not done:
+        chunks = {src: next chunk from each host-fed source}
+        state, taps = jitted_step(state, chunks)     # one XLA invocation
+        for sink: sink.collect(taps[sink])
+
+Generated sources (sig_source, noise) run on-device inside the step; the loop
+terminates when host-fed sources are exhausted or a `head`-style item limit is
+reached, after which sink collections are trimmed to the exact expected item
+counts using the same rational rate algebra the compiler used (so results are
+chunk-size invariant, matching the reference's history discipline —
+SURVEY.md App. C "history/alignment invariance").
+"""
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import jax
+import numpy as np
+
+from .block import SinkBlock, SourceBlock
+from .stream import host_decode
+from .compile import CompiledGraph
+from .graph import Flowgraph
+
+
+class TopBlock:
+    def __init__(self, fg: Flowgraph | None = None, chunk_mult: int | None = None,
+                 jit: bool = True, target_items: int = 16384):
+        self.fg = fg if fg is not None else Flowgraph()
+        self.chunk_mult = chunk_mult
+        self.target_items = target_items
+        self._jit = jit
+        self._compiled: CompiledGraph | None = None
+        self.state = None
+
+    # gr-style sugar
+    def connect(self, *points):
+        self.fg.connect(*points)
+
+    def compile(self) -> CompiledGraph:
+        if self._compiled is None:
+            self._compiled = CompiledGraph(self.fg, self.chunk_mult,
+                                           jit=self._jit,
+                                           target_items=self.target_items)
+        return self._compiled
+
+    def _expected_items(self, cg: CompiledGraph, sink: SinkBlock,
+                        anchor, n_anchor_items: int) -> int:
+        """Exact rational scaling of item counts along the graph, the analog
+        of relative_rate bookkeeping (block.h:276-297) done with Fractions."""
+        a_rate = anchor.in_rates[0] if anchor.nin else anchor.out_rates[0]
+        t_anchor = cg.rates[anchor] * a_rate
+        t_sink = cg.rates[sink] * sink.in_rates[0]
+        return math.floor(Fraction(n_anchor_items) * t_sink / t_anchor)
+
+    def run(self, n_steps: int | None = None):
+        """Run the graph. Terminates when (a) n_steps reached, (b) any
+        host-fed source is exhausted, or (c) every item-limited source
+        (head-style `limit` attribute) has produced its quota."""
+        cg = self.compile()
+        if self.state is None:
+            self.state = cg.init_state()
+        state = self.state
+
+        fed_iters = {}
+        for b in cg.fed_sources:
+            fed_iters[b.name] = b.chunks(cg.n_out[b][0])  # iterator of chunks
+
+        # head-style item limiters: any block exposing a `limit` attribute
+        limited = [b for b in cg.order if getattr(b, "limit", None)]
+        steps_limit = n_steps
+        if limited:
+            def _per_step(b):
+                return cg.n_in[b][0] if b.nin else cg.n_out[b][0]
+            # number of steps to cover every limited block's quota
+            need = max(math.ceil(b.limit / _per_step(b)) for b in limited)
+            steps_limit = need if steps_limit is None else min(steps_limit, need)
+
+        step_i = 0
+        anchor_seen = {b: 0 for b in limited}
+        while steps_limit is None or step_i < steps_limit:
+            fed = {}
+            exhausted = False
+            for b in cg.fed_sources:
+                chunk = next(fed_iters[b.name], None)
+                if chunk is None:
+                    exhausted = True
+                    break
+                fed[b.name] = chunk
+            if exhausted:
+                break
+            if steps_limit is None and not cg.fed_sources:
+                raise RuntimeError(
+                    "graph has no host-fed or item-limited source and no "
+                    "n_steps bound — it would run forever")
+            state, taps = cg.step(state, fed)
+            for sink in cg.sinks:
+                sink.collect(host_decode(np.asarray(taps[sink.name]),
+                                         sink.in_ports[0]))
+            for b in anchor_seen:
+                anchor_seen[b] += cg.n_in[b][0] if b.nin else cg.n_out[b][0]
+            step_i += 1
+
+        self.state = state
+        jax.block_until_ready(jax.tree_util.tree_leaves(state) or [0])
+
+        # Trim sink collections to exact expected counts (head semantics).
+        anchor = None
+        n_anchor = None
+        if limited:
+            anchor = limited[0]
+            n_anchor = min(anchor.limit, anchor_seen[anchor])
+        elif cg.fed_sources:
+            anchor = cg.fed_sources[0]
+            n_anchor = getattr(anchor, "items_supplied", None)
+        if anchor is not None and n_anchor is not None:
+            for sink in cg.sinks:
+                want = self._expected_items(cg, sink, anchor, n_anchor)
+                sink.trim(want)
+        return self
+
+    def run_steps(self, n: int):
+        return self.run(n_steps=n)

@@ -1,0 +1,9 @@
+"""`from gnuradio_tpu import gr` — the user-facing runtime namespace,
+mirroring `from gnuradio import gr` (gnuradio-runtime/python/gnuradio/gr/)."""
+from .core.block import (Block, SyncBlock, DecimBlock, InterpBlock,
+                         SourceBlock, SinkBlock)
+from .core.graph import Flowgraph
+from .core.runtime import TopBlock
+from .core.stream import PortSpec, port, B, S, I, F, C
+
+top_block = TopBlock  # gr.top_block() alias

@@ -1,0 +1,98 @@
+"""WBFM receiver — the flagship end-to-end chain (BASELINE.json config #1).
+
+Reference parity: gr-analog/python/analog/wfm_rcv.py:22-65 —
+    quadrature_demod_cf(gain = quad_rate / (2*pi*max_dev))
+    -> fir_filter_fff(audio_decim, firdes.low_pass(1, quad_rate,
+                      audio_rate/2 - width/2, width, WIN_HAMMING))
+    -> fm_deemph(audio_rate, tau=75e-6)
+with an optional leading freq_xlating_fir_filter_ccf channel selector
+(gr-filter freq_xlating_fir_filter.h) as in the mp-sched / uhd examples.
+
+Two forms are provided:
+  * `wfm_rcv_graph(...)` — the block-graph form, run under TopBlock.
+  * `wfm_receive_fn(...)` — the same chain as a bare jittable
+    `step(state, iq_chunk) -> (state, audio_chunk)` function, used by
+    bench.py and __graft_entry__.py (no graph overhead at all).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import Flowgraph
+from ..core.runtime import TopBlock
+from ..core.stream import PortSpec
+from ..ops import firdes
+from ..ops.analog import QuadratureDemod, fm_deemph, quadrature_demod_cf
+from ..ops.blocks import VectorSink, StreamSource, vector_sink_f
+from ..ops.filter import (FirFilter, FreqXlatingFirFilter, fir_filter_fff,
+                          freq_xlating_fir_filter_ccf)
+
+
+def wfm_taps(quad_rate: float, audio_rate: float, width: float = None):
+    """Audio LPF taps per wfm_rcv.py (width defaults to the reference's
+    audio_rate/32 transition ~ matching its low_pass(1.0, quad_rate,
+    audio_rate/2-width, width))."""
+    if width is None:
+        width = audio_rate / 32.0
+    return firdes.low_pass(1.0, quad_rate, audio_rate / 2 - width, width,
+                           firdes.WIN_HAMMING)
+
+
+def channel_taps(samp_rate: float, quad_rate: float):
+    """Channel-select LPF for the front-end freq-xlating stage."""
+    return firdes.low_pass(1.0, samp_rate, quad_rate * 0.4, quad_rate * 0.1,
+                           firdes.WIN_HAMMING)
+
+
+def wfm_rcv_graph(iq_data, samp_rate=1_000_000.0, quad_rate=250_000.0,
+                  audio_rate=50_000.0, center_freq=0.0, max_dev=75_000.0,
+                  tau=75e-6, chunk_mult=1):
+    """Build the full receiver flowgraph over a recorded IQ array.
+    Returns (TopBlock, audio_sink)."""
+    chan_decim = int(round(samp_rate / quad_rate))
+    audio_decim = int(round(quad_rate / audio_rate))
+    fg = Flowgraph()
+    src = StreamSource(np.asarray(iq_data, np.complex64), out_port=PortSpec())
+    chan = freq_xlating_fir_filter_ccf(
+        chan_decim, channel_taps(samp_rate, quad_rate), center_freq, samp_rate)
+    demod = quadrature_demod_cf(quad_rate / (2 * math.pi * max_dev))
+    audio = fir_filter_fff(audio_decim, wfm_taps(quad_rate, audio_rate))
+    deemph = fm_deemph(audio_rate, tau)
+    snk = vector_sink_f()
+    fg.connect(src, chan, demod, audio, deemph, snk)
+    tb = TopBlock(fg, chunk_mult=chunk_mult)
+    return tb, snk
+
+
+def make_wfm_step(samp_rate=1_000_000.0, quad_rate=250_000.0,
+                  audio_rate=50_000.0, center_freq=0.0, max_dev=75_000.0,
+                  tau=75e-6):
+    """Bare functional form: returns (init_state_fn, step_fn, in_multiple).
+
+    step(state, iq_chunk[complex64, n]) -> (state, audio[float32, n/decim])
+    where decim = samp_rate/audio_rate; n must be a multiple of in_multiple.
+    """
+    chan_decim = int(round(samp_rate / quad_rate))
+    audio_decim = int(round(quad_rate / audio_rate))
+    chan = FreqXlatingFirFilter(chan_decim, channel_taps(samp_rate, quad_rate),
+                                center_freq, samp_rate)
+    demod = QuadratureDemod(quad_rate / (2 * math.pi * max_dev))
+    audio = FirFilter(audio_decim, wfm_taps(quad_rate, audio_rate),
+                      in_complex=False)
+    deemph = fm_deemph(audio_rate, tau)
+    blocks = [chan, demod, audio, deemph]
+
+    def init_state():
+        return [b.init_state() for b in blocks]
+
+    def step(state, iq):
+        s0, (y,) = chan.apply(state[0], (iq,), (iq.shape[0],))
+        s1, (y,) = demod.apply(state[1], (y,), (y.shape[0],))
+        s2, (y,) = audio.apply(state[2], (y,), (y.shape[0],))
+        s3, (y,) = deemph.apply(state[3], (y,), (y.shape[0],))
+        return [s0, s1, s2, s3], y
+
+    return init_state, step, chan_decim * audio_decim
