@@ -1,0 +1,149 @@
+"""gr-digital QA — golden-vector style (SURVEY.md §4): constellation
+round-trips, differential coding, bit packing, scrambler involution, loop
+lock behavior, and the full QPSK loopback (config #3)."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnuradio_tpu.ops.digital import (
+    constellation_bpsk, constellation_qpsk, constellation_8psk,
+    constellation_16qam, DiffEncoder, DiffDecoder, DiffPhasor, MapBB,
+    UnpackKBits, PackKBits, AdditiveScrambler, ChunksToSymbols,
+    ConstellationDecoder, crc32)
+from gnuradio_tpu.ops.digital_loops import (CostasLoop, PfbClockSync,
+                                            CfoCorrector, cfo_estimate_x4)
+from gnuradio_tpu.models.qpsk import (qpsk_tx, make_qpsk_rx, rrc_taps,
+                                      ber_after_alignment)
+
+
+@pytest.mark.parametrize("make", [constellation_bpsk, constellation_qpsk,
+                                  constellation_8psk, constellation_16qam])
+def test_constellation_roundtrip(make):
+    c = make()
+    idx = np.arange(c.arity, dtype=np.int32)
+    pts = c.map_to_points(jnp.asarray(idx))
+    dec = np.asarray(c.decision(pts))
+    np.testing.assert_array_equal(dec, idx)
+
+
+def test_constellation_decision_noisy(rng):
+    c = constellation_qpsk()
+    idx = rng.integers(0, 4, 1000).astype(np.int32)
+    pts = np.asarray(c.points)[idx] + 0.1 * (
+        rng.standard_normal(1000) + 1j * rng.standard_normal(1000))
+    dec = np.asarray(c.decision(jnp.asarray(pts.astype(np.complex64))))
+    assert np.mean(dec == idx) > 0.99
+
+
+def test_soft_llr_sign_matches_hard(rng):
+    c = constellation_qpsk()
+    idx = rng.integers(0, 4, 500).astype(np.int32)
+    pts = np.asarray(c.points)[idx].astype(np.complex64)
+    llr = np.asarray(c.soft_llr(jnp.asarray(pts), 0.1))
+    bits = (llr > 0).astype(int)
+    want = np.stack([(idx >> 0) & 1, (idx >> 1) & 1], axis=1)
+    np.testing.assert_array_equal(bits, want)
+
+
+def test_diff_encode_decode_roundtrip(rng):
+    x = rng.integers(0, 4, 1000).astype(np.int8)
+    enc = DiffEncoder(4)
+    dec = DiffDecoder(4)
+    se, sd = enc.init_state(), dec.init_state()
+    # two chunks to exercise state carry
+    out = []
+    for half in (x[:500], x[500:]):
+        se, y = enc.work(se, jnp.asarray(half))
+        sd, z = dec.work(sd, y)
+        out.append(np.asarray(z))
+    np.testing.assert_array_equal(np.concatenate(out), x)
+
+
+def test_pack_unpack_roundtrip(rng):
+    x = rng.integers(0, 2, 800).astype(np.int8)
+    up = PackKBits(8)
+    dn = UnpackKBits(8)
+    _, (packed,) = up.apply(None, (jnp.asarray(x),), (800,))
+    _, (bits,) = dn.apply(None, (packed,), (100,))
+    np.testing.assert_array_equal(np.asarray(bits), x)
+
+
+def test_additive_scrambler_involution(rng):
+    x = rng.integers(0, 2, 500).astype(np.int8)
+    a = AdditiveScrambler()
+    b = AdditiveScrambler()
+    sa, sb = a.init_state(), b.init_state()
+    sa, y = a.work(sa, jnp.asarray(x))
+    sb, z = b.work(sb, y)
+    np.testing.assert_array_equal(np.asarray(z), x)
+    assert np.any(np.asarray(y) != x)  # actually scrambled
+
+
+def test_crc32_known_value():
+    # CRC-32/BZIP2 of "123456789" is 0xFC891918
+    assert crc32(b"123456789") == 0xFC891918
+
+
+def test_costas_locks_constant_rotation(rng):
+    c = constellation_qpsk()
+    idx = rng.integers(0, 4, 4000).astype(np.int32)
+    pts = np.asarray(c.points)[idx].astype(np.complex64) * np.exp(1j * 0.5)
+    loop = CostasLoop(2 * math.pi / 100, 4)
+    st = loop.init_state()
+    st, y = loop.work(st, jnp.asarray(pts))
+    dec = np.asarray(c.decision(y[2000:]))
+    # after lock, decisions consistent up to a fixed 90-degree ambiguity
+    errs = min(np.mean(dec != ((idx[2000:] + r) % 4)) for r in range(4))
+    # rotation by r in gray-index domain isn't additive; check via phase
+    resid = np.angle(np.asarray(y[2000:]) * np.conj(
+        np.asarray(c.points)[idx[2000:]]))
+    resid = np.mod(resid, math.pi / 2)
+    resid = np.minimum(resid, math.pi / 2 - resid)
+    assert np.median(resid) < 0.05
+
+
+def test_cfo_estimator_accuracy(rng):
+    bits = rng.integers(0, 2, 4000)
+    iq, _ = qpsk_tx(bits, sps=4)
+    t = np.arange(len(iq))
+    for cfo in (0.0, 0.005, -0.013):
+        x = (iq * np.exp(1j * cfo * t)).astype(np.complex64)
+        est = float(cfo_estimate_x4(jnp.asarray(x)))
+        assert abs(est - cfo) < 5e-4, (cfo, est)
+
+
+def test_qpsk_loopback_noisy_offset(rng):
+    bits = rng.integers(0, 2, 8000)
+    iq, tx_sym = qpsk_tx(bits, sps=4)
+    n = len(iq)
+    t = np.arange(n)
+    rx = (iq * np.exp(1j * (0.02 * t + 0.7)) * 0.5).astype(np.complex64)
+    rx += ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+           * 0.02).astype(np.complex64)
+    init_s, step = make_qpsk_rx(sps=4)
+    st = init_s()
+    st, sym = jax.jit(step)(st, rx)
+    ser = ber_after_alignment(np.asarray(sym), tx_sym, skip=1500)
+    assert ser < 0.01, ser
+
+
+def test_qpsk_loopback_chunked(rng):
+    """Same loopback split into chunks — state carry across steps."""
+    bits = rng.integers(0, 2, 8000)
+    iq, tx_sym = qpsk_tx(bits, sps=4)
+    n = len(iq)
+    t = np.arange(n)
+    rx = (iq * np.exp(1j * (0.005 * t))).astype(np.complex64)
+    init_s, step = make_qpsk_rx(sps=4)
+    st = init_s()
+    sj = jax.jit(step)
+    outs = []
+    chunk = n // 4
+    for k in range(4):
+        st, sym = sj(st, rx[k * chunk:(k + 1) * chunk])
+        outs.append(np.asarray(sym))
+    ser = ber_after_alignment(np.concatenate(outs), tx_sym, skip=1500)
+    assert ser < 0.01, ser
