@@ -40,15 +40,17 @@ def main():
     iq = jax.device_put(iq_host)
     state = init_state()
 
-    # warm up + compile
+    # warm up + compile (fetch a scalar: on some experimental backends
+    # block_until_ready returns before execution completes, so a host fetch
+    # is the only reliable synchronization barrier)
     state, audio = run(state, iq)
-    jax.block_until_ready(audio)
+    np.asarray(audio[-8:])  # 1-d slice: 0-d fetches are unimplemented on axon
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, audio = run(state, iq)
-    jax.block_until_ready(audio)
+    np.asarray(audio[-8:])
     dt = time.perf_counter() - t0
 
     msps = n * iters / dt / 1e6

@@ -1,0 +1,75 @@
+"""OFDM loopback transceiver — BASELINE.json config #4.
+
+Reference: gr-digital/examples/ofdm/ofdm_loopback.grc — digital_ofdm_tx ->
+channels_channel_model -> digital_ofdm_rx (hiers in
+gr-digital/python/digital/ofdm_txrx.py:103 (tx) and :249 (rx)).
+
+Functional frame-based form: one jittable TX producing a burst, one
+jittable RX recovering the payload through Schmidl&Cox sync, CFO
+correction, LS channel estimation and (static or decision-feedback)
+equalization. The packet/header machinery of the reference (crc32_bb,
+packet_headergenerator) is host-side framing — see ops/digital.crc32.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.digital import constellation_qpsk
+from ..ops.ofdm import (CP_LEN, FFT_LEN, allocate_carriers,
+                        default_occupied_carriers, equalize_simpledfe,
+                        equalize_static, ls_channel_estimate, ofdm_demodulate,
+                        ofdm_modulate, schmidl_cox_detect,
+                        schmidl_cox_preamble, serialize_carriers,
+                        DEFAULT_PILOT_CARRIERS, DEFAULT_PILOT_SYMBOLS)
+
+
+def ofdm_tx_burst(sym_idx: np.ndarray, fft_len=FFT_LEN, cp_len=CP_LEN,
+                  pad: int = 100):
+    """Build one OFDM burst from QPSK symbol indices.
+    Returns (iq, n_data_frames). len(sym_idx) must fill whole frames."""
+    const = constellation_qpsk()
+    occ = default_occupied_carriers(fft_len)
+    n_occ = len(occ)
+    assert len(sym_idx) % n_occ == 0
+    nframes = len(sym_idx) // n_occ
+    syms = jnp.asarray(const.points)[jnp.asarray(sym_idx, jnp.int32)]
+    w1, w2 = schmidl_cox_preamble(fft_len)
+    frames = allocate_carriers(syms, nframes, fft_len, occ,
+                               DEFAULT_PILOT_CARRIERS, DEFAULT_PILOT_SYMBOLS,
+                               sync_words=[w1, w2])
+    iq = ofdm_modulate(frames, cp_len)
+    z = jnp.zeros(pad, iq.dtype)
+    return jnp.concatenate([z, iq, z]), nframes
+
+
+def ofdm_rx_burst(x, nframes, fft_len=FFT_LEN, cp_len=CP_LEN,
+                  equalizer="simpledfe"):
+    """Receive one OFDM burst: S&C detect -> CFO correct -> FFT ->
+    chanest from sync word 2 -> equalize -> serialize -> decide.
+    Returns (sym_idx, diag dict)."""
+    const = constellation_qpsk()
+    occ = default_occupied_carriers(fft_len)
+    d, fine = schmidl_cox_detect(x, fft_len, cp_len)
+    # correct fine CFO over the whole buffer (phase-continuous)
+    n = x.shape[0]
+    xc = x * jnp.exp(-1j * fine * jnp.arange(n, dtype=jnp.float32))
+    # frame start: metric plateau midpoint d corresponds to the start of the
+    # first sync symbol's CP; first sync symbol begins at d + ... the
+    # preamble detector yields the boundary — demod from the sync-word-1
+    # symbol start
+    start = d
+    F = ofdm_demodulate(xc, nframes + 2, fft_len, cp_len, start)
+    w1, w2 = schmidl_cox_preamble(fft_len)
+    H = ls_channel_estimate(F[1], jnp.asarray(w2), fft_len)
+    data = F[2:]
+    if equalizer == "static":
+        eq = equalize_static(data, H)
+    else:
+        eq, H = equalize_simpledfe(data, H, const.points,
+                                   DEFAULT_PILOT_CARRIERS,
+                                   DEFAULT_PILOT_SYMBOLS, fft_len)
+    syms = serialize_carriers(eq, fft_len, occ)
+    idx = const.decision(syms)
+    return idx, {"start": d, "fine_cfo": fine, "H": H, "eq_syms": syms}
