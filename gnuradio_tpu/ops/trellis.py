@@ -1,0 +1,489 @@
+"""gr-trellis: FSM-based coded modulation — encoder, Viterbi, SISO (BCJR).
+
+Reference behavior (NOT copied; reimplemented TPU-first):
+  gr-trellis/lib/fsm.cc            — FSM table construction (generator-matrix
+                                     constructor at :116, file format at :71,
+                                     PS/PI tables via generate_PS_PI)
+  gr-trellis/lib/base.cc           — MSB-first digit codecs (dec2base etc.)
+  gr-trellis/lib/core_algorithms.cc:29-140  — viterbi_algorithm (ACS loop,
+                                     per-step min normalization, traceback)
+  gr-trellis/lib/core_algorithms.cc siso_algorithm — forward/backward
+                                     min / min* recursions
+  gr-trellis/lib/calc_metric.cc    — TRELLIS_EUCLIDEAN / HARD_SYMBOL metrics
+
+TPU design: the reference runs a scalar triple loop (time x next-state x
+predecessor). Here the state dimension is a *vector axis*: the ACS step is a
+gather over dense predecessor tables [S, P] plus a min-reduce, and time is a
+`lax.scan`. S=64..8192 states ride the VPU lanes; independent K-symbol blocks
+batch via vmap. Traceback is a reverse scan over the stored decisions.
+
+All FSM table construction is host-side NumPy (done once at graph build);
+only the per-sample recursions run on device.
+"""
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block
+from ..core.stream import PortSpec, B, C, F, I as I32
+
+INF = 1.0e9
+
+# metric types (gr-digital/include/gnuradio/digital/metric_type.h)
+TRELLIS_EUCLIDEAN = 200
+TRELLIS_HARD_SYMBOL = 201
+TRELLIS_HARD_BIT = 202
+
+
+def _dec2base_msb(num: int, base: int, ndigits: int) -> np.ndarray:
+    """MSB-first digits of num in `base` (base.cc dec2base)."""
+    out = np.zeros(ndigits, np.int64)
+    n = num
+    for i in range(ndigits):
+        out[ndigits - 1 - i] = n % base
+        n //= base
+    if n:
+        raise ValueError(f"{num} needs more than {ndigits} base-{base} digits")
+    return out
+
+
+class FSM:
+    """Finite state machine with I inputs, S states, O outputs.
+
+    NS[s, i] = next state, OS[s, i] = output symbol (fsm.h:44-49).
+    Dense predecessor tables for the vectorized ACS:
+      PS[j, p]      = p-th predecessor state of state j
+      PI[j, p]      = input symbol taken from that predecessor
+      PRED_OS[j, p] = OS[PS[j,p], PI[j,p]]
+      PMASK[j, p]   = 0.0 for real transitions, +INF for padding
+    Predecessors are enumerated in (state-major, input-minor) order to match
+    the reference's generate_PS_PI tie-breaking in the strict-< ACS compare.
+    """
+
+    def __init__(self, I: int, S: int, O: int, NS, OS):
+        self.I, self.S, self.O = int(I), int(S), int(O)
+        self.NS = np.asarray(NS, np.int32).reshape(self.S, self.I)
+        self.OS = np.asarray(OS, np.int32).reshape(self.S, self.I)
+        if self.NS.min() < 0 or self.NS.max() >= self.S:
+            raise ValueError("NS entries out of range")
+        if self.OS.min() < 0 or self.OS.max() >= self.O:
+            raise ValueError("OS entries out of range")
+        self._build_pred_tables()
+
+    # ---- constructors ----
+    @classmethod
+    def from_generator(cls, k: int, n: int, G) -> "FSM":
+        """Rate k/n FSM from a k*n octal-free generator matrix of integers
+        (fsm.cc:116). G[i*n+j] is the polynomial from input register i to
+        output j, MSB = newest bit ("1+D is 110, not 011")."""
+        G = np.asarray(G, np.int64).reshape(k, n)
+        max_mem_x = np.full(k, -1, np.int64)
+        for i in range(k):
+            for j in range(n):
+                if G[i, j] != 0:
+                    mem = int(math.log2(G[i, j]))
+                    max_mem_x[i] = max(max_mem_x[i], mem)
+        max_mem = int(max_mem_x.max())
+        sum_max_mem = int(max_mem_x.sum())
+        I_, S_, O_ = 1 << k, 1 << sum_max_mem, 1 << n
+        bases_x = [1 << int(m) for m in max_mem_x]
+        # binary (MSB-first) generator rows, width max_mem+1
+        Gb = np.zeros((k, n, max_mem + 1), np.int64)
+        for i in range(k):
+            for j in range(n):
+                Gb[i, j] = _dec2base_msb(int(G[i, j]), 2, max_mem + 1)
+        NS = np.zeros((S_, I_), np.int32)
+        OS = np.zeros((S_, I_), np.int32)
+        for s in range(S_):
+            # split s into k shift registers, mixed radix, MSB-first
+            sx, rem = [], s
+            for j in range(k - 1, -1, -1):
+                sx.insert(0, rem % bases_x[j])
+                rem //= bases_x[j]
+            for i in range(I_):
+                inb = _dec2base_msb(i, 2, k)
+                nsx = [(int(inb[j]) * bases_x[j] + sx[j]) // 2 for j in range(k)]
+                ns = 0
+                for j in range(k):
+                    ns = ns * bases_x[j] + nsx[j]
+                NS[s, i] = ns
+                out = 0
+                for nn in range(n):
+                    bit = 0
+                    for j in range(k):
+                        tx = int(inb[j]) * bases_x[j] + sx[j]
+                        tb = _dec2base_msb(tx, 2, max_mem + 1)
+                        bit = (bit + int((Gb[j, nn] * tb).sum())) % 2
+                    out = out * 2 + bit
+                OS[s, i] = out
+        return cls(I_, S_, O_, NS, OS)
+
+    @classmethod
+    def from_file(cls, path: str) -> "FSM":
+        """Text format (fsm.cc:71): 'I S O' then NS rows then OS rows."""
+        toks = []
+        with open(path) as f:
+            for line in f:
+                line = line.split("#")[0]
+                toks += [int(t) for t in line.split()]
+        I_, S_, O_ = toks[0], toks[1], toks[2]
+        body = toks[3:]
+        NS = body[: S_ * I_]
+        OS = body[S_ * I_: 2 * S_ * I_]
+        return cls(I_, S_, O_, NS, OS)
+
+    @classmethod
+    def interference_channel(cls, mod_size: int, ch_length: int) -> "FSM":
+        """ISI-channel FSM (fsm.cc:228): I=mod_size, S=mod_size^(L-1)."""
+        I_ = mod_size
+        S_ = int(round(mod_size ** (ch_length - 1)))
+        O_ = S_ * I_
+        NS = np.zeros((S_, I_), np.int32)
+        OS = np.zeros((S_, I_), np.int32)
+        for s in range(S_):
+            for i in range(I_):
+                t = i * S_ + s
+                NS[s, i] = t // mod_size
+                OS[s, i] = t
+        return cls(I_, S_, O_, NS, OS)
+
+    def _build_pred_tables(self):
+        preds = [[] for _ in range(self.S)]
+        for s in range(self.S):
+            for i in range(self.I):
+                preds[self.NS[s, i]].append((s, i))
+        P = max(1, max(len(p) for p in preds))
+        self.P = P
+        self.PS = np.zeros((self.S, P), np.int32)
+        self.PI = np.zeros((self.S, P), np.int32)
+        self.PRED_OS = np.zeros((self.S, P), np.int32)
+        self.PMASK = np.full((self.S, P), INF, np.float32)
+        for j in range(self.S):
+            for p, (s, i) in enumerate(preds[j]):
+                self.PS[j, p] = s
+                self.PI[j, p] = i
+                self.PRED_OS[j, p] = self.OS[s, i]
+                self.PMASK[j, p] = 0.0
+
+    def write_fsm_txt(self, path: str):
+        with open(path, "w") as f:
+            f.write(f"{self.I} {self.S} {self.O}\n\n")
+            for row in self.NS:
+                f.write(" ".join(map(str, row)) + "\n")
+            f.write("\n")
+            for row in self.OS:
+                f.write(" ".join(map(str, row)) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# device-side core algorithms
+# ---------------------------------------------------------------------------
+
+def calc_metric(obs, table, O: int, D: int, metric_type=TRELLIS_EUCLIDEAN):
+    """Per-symbol branch metrics (calc_metric.cc TRELLIS_EUCLIDEAN /
+    HARD_SYMBOL). obs: [K*D] (real or complex) -> [K, O] float32.
+    table: [O, D] modulation table."""
+    obs = jnp.reshape(obs, (-1, 1, D))
+    tab = jnp.reshape(jnp.asarray(table), (1, O, D))
+    d = obs - tab
+    met = jnp.sum((d * jnp.conj(d)).real if jnp.iscomplexobj(d) else d * d,
+                  axis=-1).astype(jnp.float32)               # [K, O]
+    if metric_type == TRELLIS_EUCLIDEAN:
+        return met
+    if metric_type == TRELLIS_HARD_SYMBOL:
+        best = jnp.argmin(met, axis=-1, keepdims=True)
+        o_ids = jax.lax.broadcasted_iota(jnp.int32, met.shape, 1)
+        return jnp.where(o_ids == best, 0.0, 1.0).astype(jnp.float32)
+    raise NotImplementedError("TRELLIS_HARD_BIT not implemented (matches "
+                              "reference which throws too)")
+
+
+def _alpha0(fsm: FSM, S0: int):
+    if S0 < 0:
+        return jnp.zeros(fsm.S, jnp.float32)
+    return jnp.full((fsm.S,), INF, jnp.float32).at[S0].set(0.0)
+
+
+def viterbi_path(fsm: FSM, metrics, S0: int = 0, SK: int = -1):
+    """Viterbi over one K-symbol block (core_algorithms.cc:29-101).
+    metrics: [K, O] float32 -> decoded input symbols [K] int32.
+    Vectorized ACS: candidates via predecessor gathers, min over P axis."""
+    PS = jnp.asarray(fsm.PS)
+    PI = jnp.asarray(fsm.PI)
+    PRED_OS = jnp.asarray(fsm.PRED_OS)
+    PMASK = jnp.asarray(fsm.PMASK)
+
+    def acs(alpha, m):
+        cand = alpha[PS] + m[PRED_OS] + PMASK          # [S, P]
+        minmi = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        minm = jnp.min(cand, axis=1)
+        minm = minm - jnp.min(minm)                    # per-step normalization
+        return minm, minmi
+
+    alpha_k, trace = jax.lax.scan(acs, _alpha0(fsm, S0), metrics)  # trace [K,S]
+
+    st0 = jnp.argmin(alpha_k).astype(jnp.int32) if SK < 0 else jnp.int32(SK)
+
+    def tb(st, tr_k):
+        p = tr_k[st]
+        return PS[st, p], PI[st, p]
+
+    _, out = jax.lax.scan(tb, st0, trace, reverse=True)
+    return out.astype(jnp.int32)
+
+
+def viterbi_combined(fsm: FSM, table, D: int, metric_type, obs,
+                     S0: int = 0, SK: int = -1):
+    """Fused metric computation + Viterbi (viterbi_algorithm_combined,
+    core_algorithms.cc:142+). obs: [K*D] -> symbols [K]."""
+    met = calc_metric(obs, table, fsm.O, D, metric_type)
+    return viterbi_path(fsm, met, S0, SK)
+
+
+def _combine(a, b, use_min_star: bool):
+    if use_min_star:
+        m = jnp.minimum(a, b)
+        return m - jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    return jnp.minimum(a, b)
+
+
+def siso(fsm: FSM, priori, prioro, S0: int = 0, SK: int = -1,
+         posti: bool = True, posto: bool = False, use_min_star: bool = True):
+    """SISO (BCJR in the min/min* domain) — core_algorithms.cc
+    siso_algorithm. priori: [K, I] input priors, prioro: [K, O] observation
+    metrics; returns posterior metrics [K, I] and/or [K, O] (lower=better).
+    Forward+backward are two scans; the combining step is a batched gather.
+    """
+    S, I_, O = fsm.S, fsm.I, fsm.O
+    PS, PI = jnp.asarray(fsm.PS), jnp.asarray(fsm.PI)
+    PRED_OS, PMASK = jnp.asarray(fsm.PRED_OS), jnp.asarray(fsm.PMASK)
+    NS, OS = jnp.asarray(fsm.NS), jnp.asarray(fsm.OS)
+
+    def fwd(alpha, km):
+        pi_, po_ = km
+        cand = alpha[PS] + pi_[PI] + po_[PRED_OS] + PMASK
+        if use_min_star:
+            m = cand[:, 0]
+            for p in range(1, fsm.P):
+                m = _combine(m, cand[:, p], True)
+        else:
+            m = jnp.min(cand, axis=1)
+        m = m - jnp.min(m)
+        return m, alpha  # output PRE-update alpha[k]
+
+    alpha_K, alphas = jax.lax.scan(fwd, _alpha0(fsm, S0), (priori, prioro))
+    # alphas[k] = alpha at time k (before consuming symbol k); also need final
+    # beta init
+    if SK < 0:
+        betaK = jnp.zeros(S, jnp.float32)
+    else:
+        betaK = jnp.full((S,), INF, jnp.float32).at[SK].set(0.0)
+
+    def bwd(beta, km):
+        pi_, po_ = km
+        # beta[k][j] = combine_i beta[k+1][NS[j,i]] + priori[k,i] + prioro[k,OS[j,i]]
+        cand = beta[NS] + pi_[None, :] + po_[OS]       # [S, I]
+        if use_min_star:
+            m = cand[:, 0]
+            for i in range(1, I_):
+                m = _combine(m, cand[:, i], True)
+        else:
+            m = jnp.min(cand, axis=1)
+        m = m - jnp.min(m)
+        return m, m  # output beta[k]
+
+    _, betas = jax.lax.scan(bwd, betaK, (priori, prioro), reverse=True)
+    # betas[k] = beta at time k; beta_{k+1} needed for combining:
+    betas_next = jnp.concatenate([betas[1:], betaK[None]], axis=0)  # [K, S]
+
+    outs = []
+    if posti:
+        # post_i[k, i] = combine_j alpha[k, j] + prioro[k, OS[j,i]] + beta[k+1, NS[j,i]]
+        def comb_i(al, bn, po_):
+            cand = al[:, None] + po_[OS] + bn[NS]      # [S, I]
+            if use_min_star:
+                m = cand[0]
+                for j in range(1, S):
+                    m = _combine(m, cand[j], True)
+            else:
+                m = jnp.min(cand, axis=0)
+            return m - jnp.min(m)
+        outs.append(jax.vmap(comb_i)(alphas, betas_next, prioro))
+    if posto:
+        onehot = jnp.asarray(
+            np.eye(O, dtype=np.float32)[fsm.OS.reshape(-1)].reshape(S, I_, O))
+
+        def comb_o(al, bn, pi_):
+            base = al[:, None] + pi_[None, :] + bn[NS]  # [S, I]
+            cand = jnp.where(onehot > 0, base[:, :, None], INF)  # [S, I, O]
+            cand = cand.reshape(S * I_, O)
+            if use_min_star:
+                m = cand[0]
+                for j in range(1, S * I_):
+                    m = _combine(m, cand[j], True)
+            else:
+                m = jnp.min(cand, axis=0)
+            return m - jnp.min(m)
+        outs.append(jax.vmap(comb_o)(alphas, betas_next, priori))
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def encode_fsm(fsm: FSM, symbols, S0: int = 0):
+    """Trellis encode: input symbols [K] -> output symbols [K]
+    (gr-trellis/lib/encoder_impl.cc). Sequential scan (cheap: one gather per
+    symbol); independent blocks batch with vmap."""
+    NS, OS = jnp.asarray(fsm.NS), jnp.asarray(fsm.OS)
+
+    def step(s, i):
+        return NS[s, i], OS[s, i]
+
+    _, out = jax.lax.scan(step, jnp.int32(S0), symbols.astype(jnp.int32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+class TrellisEncoder(Block):
+    """trellis.encoder_XX: input symbol stream -> output symbol stream."""
+
+    def __init__(self, fsm: FSM, S0: int = 0, dtype=B, name=None):
+        super().__init__(name)
+        self.fsm, self.S0 = fsm, int(S0)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
+
+    def init_state(self):
+        return {"s": jnp.int32(self.S0)}
+
+    def apply(self, state, inputs, n_in):
+        NS, OS = jnp.asarray(self.fsm.NS), jnp.asarray(self.fsm.OS)
+
+        def step(s, i):
+            return NS[s, i], OS[s, i]
+
+        s, out = jax.lax.scan(step, state["s"], inputs[0].astype(jnp.int32))
+        return {"s": s}, (out.astype(inputs[0].dtype),)
+
+
+class TrellisMetrics(Block):
+    """trellis.metrics_X: observation stream -> O branch metrics per symbol
+    (1:O interpolating over D-dim observations)."""
+
+    def __init__(self, fsm_O: int, D: int, table, metric_type=TRELLIS_EUCLIDEAN,
+                 in_dtype=C, name=None):
+        super().__init__(name)
+        self.O, self.D = int(fsm_O), int(D)
+        self.table = np.asarray(table).reshape(self.O, self.D)
+        self.metric_type = metric_type
+        self.in_ports = (PortSpec(in_dtype),)
+        self.out_ports = (PortSpec(F),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.D),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.O),)
+
+    def apply(self, state, inputs, n_in):
+        met = calc_metric(inputs[0], self.table, self.O, self.D,
+                          self.metric_type)
+        return state, (met.reshape(-1),)
+
+
+class TrellisViterbi(Block):
+    """trellis.viterbi_X: metric stream (O floats/symbol) -> decoded symbols,
+    in independent K-symbol blocks (matches the reference block's
+    set_output_multiple(K) + fresh S0/SK per block)."""
+
+    def __init__(self, fsm: FSM, K: int, S0: int = 0, SK: int = -1,
+                 out_dtype=B, name=None):
+        super().__init__(name)
+        self.fsm, self.K, self.S0, self.SK = fsm, int(K), int(S0), int(SK)
+        self.in_ports = (PortSpec(F),)
+        self.out_ports = (PortSpec(out_dtype),)
+        self.output_multiple = self.K
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.fsm.O),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def apply(self, state, inputs, n_in):
+        nsym = inputs[0].shape[0] // self.fsm.O
+        nblk = nsym // self.K
+        met = inputs[0].reshape(nblk, self.K, self.fsm.O)
+        dec = jax.vmap(lambda m: viterbi_path(self.fsm, m, self.S0, self.SK))(met)
+        return state, (dec.reshape(-1).astype(self.out_ports[0].dtype),)
+
+
+class TrellisViterbiCombined(Block):
+    """trellis.viterbi_combined_XX: observations -> decoded symbols (fused
+    metrics + Viterbi)."""
+
+    def __init__(self, fsm: FSM, K: int, S0: int, SK: int, D: int, table,
+                 metric_type=TRELLIS_EUCLIDEAN, in_dtype=C, out_dtype=B,
+                 name=None):
+        super().__init__(name)
+        self.fsm, self.K, self.S0, self.SK = fsm, int(K), int(S0), int(SK)
+        self.D = int(D)
+        self.table = np.asarray(table).reshape(fsm.O, self.D)
+        self.metric_type = metric_type
+        self.in_ports = (PortSpec(in_dtype),)
+        self.out_ports = (PortSpec(out_dtype),)
+        self.output_multiple = self.K
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.D),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def apply(self, state, inputs, n_in):
+        nsym = inputs[0].shape[0] // self.D
+        nblk = nsym // self.K
+        obs = inputs[0].reshape(nblk, self.K * self.D)
+        dec = jax.vmap(lambda o: viterbi_combined(
+            self.fsm, self.table, self.D, self.metric_type, o,
+            self.S0, self.SK))(obs)
+        return state, (dec.reshape(-1).astype(self.out_ports[0].dtype),)
+
+
+class Permutation(Block):
+    """trellis.permutation: fixed K-periodic permutation of SYMS-item groups
+    (gr-trellis/lib/permutation_impl.cc). interleaver=TABLE maps out[i] =
+    in[TABLE[i]] within each K-group."""
+
+    def __init__(self, K: int, table, syms_per_block: int = 1, dtype=B,
+                 name=None):
+        super().__init__(name)
+        self.K = int(K)
+        self.table = np.asarray(table, np.int32)
+        self.spb = int(syms_per_block)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
+        self.output_multiple = self.K * self.spb
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0].reshape(-1, self.K, self.spb)
+        y = x[:, jnp.asarray(self.table), :]
+        return state, (y.reshape(-1),)
+
+
+def make_interleaver(K: int, seed: int = 0):
+    """Random interleaver table (gr-trellis/lib/interleaver.cc)."""
+    rng = np.random.default_rng(seed)
+    return rng.permutation(K).astype(np.int32)
