@@ -1,0 +1,673 @@
+"""gr-dtv DVB-T: the full ETSI EN 300 744 transmit chain + loopback receive.
+
+Reference behavior (reimplemented TPU-first, not copied):
+  gr-dtv/lib/dvbt/dvbt_energy_dispersal_impl.cc  — PRBS x^15+x^14+1, reg
+      init 0xa9 per 8-packet group; first sync inverted to 0xB8; PRBS keeps
+      clocking over skipped sync bytes
+  gr-dtv/lib/dvbt/dvbt_reed_solomon_enc_impl.cc  — RS(204,188) t=8 shortened
+      from (255,239), GF(256) poly 0x11d  (built on ops.fec.ReedSolomon)
+  gr-dtv/lib/dvbt/dvbt_convolutional_interleaver_impl.cc — Forney I=12 M=17:
+      branch j delays j*M bytes
+  gr-dtv/lib/dvbt/dvbt_inner_coder_impl.cc       — K=7 mother code (171,133
+      octal, MSB=newest) punctured to 1/2..7/8; register streams across calls
+  gr-dtv/lib/dvbt/dvbt_bit_inner_interleaver_impl.cc — demux to v streams +
+      126-bit block interleave He(w) = (w + offset_e) mod 126
+  gr-dtv/lib/dvbt/dvbt_symbol_inner_interleaver_impl.cc — H(q) permutation
+      from the Nr-1 bit LFSR + bit permutation (EN 300 744 4.3.4.2);
+      even symbols scatter, odd symbols gather
+  gr-dtv/lib/dvbt/dvbt_map_impl.cc               — non-uniform QAM (alpha),
+      gray axes with interleaved bit order, norm 1/sqrt(2|10|42...)
+  gr-dtv/lib/dvbt/dvbt_reference_signals_impl.cc — wk PRBS (x^11+x^2+1, all
+      ones), scattered pilots k=3(s%4)+12p boosted 4/3, continual pilots,
+      TPS DBPSK over 68-symbol frames with BCH(67,53) parity; ifftshift +
+      unnormalized IFFT * 1/sqrt(27*payload)
+
+TPU design: every per-byte scalar loop in the reference becomes a static
+gather/scatter over precomputed (host NumPy) index tables — the whole TX
+chain is pure data movement + one batched IFFT, so XLA fuses it into a
+handful of kernels. The only sequential element (inner-coder shift register)
+is a windowed parity matmul (see ops.fec.cc_encode). Pilot insertion works on
+whole 68x4-symbol superframes: one [272, ncarriers] scatter + add per
+superframe.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fec
+from .dtv_tables import (CONTINUAL_PILOTS_2K, CONTINUAL_PILOTS_8K,
+                         TPS_CARRIERS_2K, TPS_CARRIERS_8K)
+
+# enums (gr-dtv/include/gnuradio/dtv/dvbt_config.h naming)
+MOD_QPSK, MOD_16QAM, MOD_64QAM = "qpsk", "16qam", "64qam"
+C1_2, C2_3, C3_4, C5_6, C7_8 = "1/2", "2/3", "3/4", "5/6", "7/8"
+T2K, T8K = "2k", "8k"
+GI_1_32, GI_1_16, GI_1_8, GI_1_4 = "1/32", "1/16", "1/8", "1/4"
+
+# mother code: polys in ops.fec convention (LSB = newest bit); these are the
+# bit-reversals of the spec's 171/133 octal (MSB = newest)
+_G1 = 0o117  # reverse(0o171)
+_G2 = 0o155  # reverse(0o133)
+
+# puncturing patterns over the serialized (x_i, y_i) mother-coded stream
+_PUNCTURE = {
+    C1_2: [1, 1],
+    C2_3: [1, 1, 0, 1],
+    C3_4: [1, 1, 0, 1, 1, 0],
+    C5_6: [1, 1, 0, 1, 1, 0, 0, 1, 1, 0],
+    C7_8: [1, 1, 0, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0],
+}
+_RATE_KN = {C1_2: (1, 2), C2_3: (2, 3), C3_4: (3, 4), C5_6: (5, 6),
+            C7_8: (7, 8)}
+
+
+class DVBTConfig:
+    """Derived constants (dvbt_configure.cc)."""
+
+    def __init__(self, constellation=MOD_16QAM, code_rate=C1_2,
+                 transmission_mode=T2K, guard=GI_1_32, alpha=1,
+                 cell_id=0, include_cell_id=False):
+        self.constellation = constellation
+        self.code_rate = code_rate
+        self.mode = transmission_mode
+        self.guard = guard
+        self.alpha = int(alpha)
+        self.cell_id = cell_id
+        self.include_cell_id = include_cell_id
+
+        self.m = {"qpsk": 2, "16qam": 4, "64qam": 6}[constellation]
+        self.constellation_size = 1 << self.m
+        self.step = 2
+        if transmission_mode == T2K:
+            self.fft_length = 2048
+            self.payload_length = 1512
+            self.Kmax = 1704
+        else:
+            self.fft_length = 8192
+            self.payload_length = 6048
+            self.Kmax = 6816
+        self.Kmin = 0
+        self.ncarriers = self.Kmax - self.Kmin + 1
+        self.zeros_on_left = int(np.ceil((self.fft_length - self.ncarriers) / 2.0))
+        self.zeros_on_right = (self.fft_length - self.zeros_on_left -
+                               self.ncarriers)
+        self.symbols_per_frame = 68
+        self.frames_per_superframe = 4
+        self.guard_length = {
+            GI_1_32: self.fft_length // 32, GI_1_16: self.fft_length // 16,
+            GI_1_8: self.fft_length // 8, GI_1_4: self.fft_length // 4,
+        }[guard]
+        # normalization (dvbt_configure.cc d_norm)
+        if constellation == MOD_QPSK:
+            self.norm = 1 / np.sqrt(2)
+        elif constellation == MOD_16QAM:
+            self.norm = 1 / np.sqrt({1: 10, 2: 20, 4: 52}[self.alpha])
+        else:
+            self.norm = 1 / np.sqrt({1: 42, 2: 60, 4: 108}[self.alpha])
+        self.cr_k, self.cr_n = _RATE_KN[code_rate]
+
+
+# ---------------------------------------------------------------------------
+# energy dispersal (EN 300 744 sec 4.3.1)
+# ---------------------------------------------------------------------------
+
+PSIZE = 188
+NPACKS = 8
+SYNC = 0x47
+NSYNC = 0xB8
+
+
+def _prbs_bytes(n: int) -> np.ndarray:
+    """PRBS 1+x^14+x^15, register init 0xa9, one byte per 8 clocks."""
+    reg = 0xA9
+    out = np.zeros(n, np.int64)
+    for i in range(n):
+        res = 0
+        for _ in range(8):
+            fb = ((reg >> 13) ^ (reg >> 14)) & 1
+            reg = ((reg << 1) | fb) & 0x7FFF
+            res = (res << 1) | fb
+        out[i] = res
+    return out
+
+
+def _dispersal_mask() -> np.ndarray:
+    """XOR mask over one 8-packet group; 0 at sync byte positions (the PRBS
+    still advances over them, matching the reference's extra clock_prbs)."""
+    seq = _prbs_bytes(NPACKS * PSIZE)
+    mask = np.zeros(NPACKS * PSIZE, np.int64)
+    ptr = 0
+    for j in range(NPACKS):
+        for i in range(1, PSIZE):
+            mask[j * PSIZE + i] = seq[ptr]
+            ptr += 1
+        ptr += 1  # PRBS advance over the next packet's sync byte
+    return mask
+
+
+_DISPERSAL_MASK = _dispersal_mask()
+
+
+def energy_dispersal(ts_bytes):
+    """[..., N*8*188] MPEG-TS bytes (0x47-aligned) -> dispersed bytes.
+    First sync of each 8-packet group becomes 0xB8."""
+    x = ts_bytes.astype(jnp.int32) & 0xFF
+    g = x.reshape(x.shape[:-1] + (-1, NPACKS * PSIZE))
+    out = g ^ jnp.asarray(_DISPERSAL_MASK, jnp.int32)
+    sync_pos = np.arange(NPACKS) * PSIZE
+    sync_vals = np.full(NPACKS, SYNC, np.int32)
+    sync_vals[0] = NSYNC
+    out = out.at[..., sync_pos].set(jnp.asarray(sync_vals))
+    return out.reshape(x.shape)
+
+
+def energy_descramble(dispersed):
+    """Inverse: restore 0x47 syncs and undo the PRBS XOR."""
+    x = dispersed.astype(jnp.int32) & 0xFF
+    g = x.reshape(x.shape[:-1] + (-1, NPACKS * PSIZE))
+    out = g ^ jnp.asarray(_DISPERSAL_MASK, jnp.int32)
+    sync_pos = np.arange(NPACKS) * PSIZE
+    out = out.at[..., sync_pos].set(SYNC)
+    return out.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# outer code + convolutional (Forney) interleaver
+# ---------------------------------------------------------------------------
+
+_RS_DVB = None
+
+
+def rs_dvb() -> fec.ReedSolomon:
+    global _RS_DVB
+    if _RS_DVB is None:
+        _RS_DVB = fec.ReedSolomon(t=8, prim_poly=0x11D, fcr=0, shorten=51)
+    return _RS_DVB
+
+
+def rs_encode_packets(dispersed):
+    """[..., N*188] -> [..., N*204] (dvbt_reed_solomon_enc)."""
+    x = dispersed.reshape(dispersed.shape[:-1] + (-1, 188))
+    cw = rs_dvb().encode(x)
+    return cw.reshape(dispersed.shape[:-1] + (-1,))
+
+
+def rs_decode_packets(coded):
+    x = coded.reshape(coded.shape[:-1] + (-1, 204))
+    data, _ = rs_dvb().decode(x)
+    return data.reshape(coded.shape[:-1] + (-1,))
+
+
+def conv_interleave_indices(n: int, I: int = 12, M: int = 17):
+    """Gather indices for out[t] = hist_ext[t + hist - I*M*(t % I)] where
+    hist = I*M*(I-1) (branch j = t%I delays j*M byte-groups of I)."""
+    hist = I * M * (I - 1)
+    t = np.arange(n)
+    return hist + t - I * M * (t % I), hist
+
+
+def conv_interleave(x, tail, I: int = 12, M: int = 17):
+    """x: [N] bytes (N % I == 0), tail: [I*M*(I-1)] carried history.
+    Returns (out [N], new_tail)."""
+    idx, hist = conv_interleave_indices(x.shape[0], I, M)
+    ext = jnp.concatenate([tail, x])
+    return ext[jnp.asarray(idx)], ext[ext.shape[0] - hist:]
+
+
+def conv_deinterleave(x, tail, I: int = 12, M: int = 17):
+    """Branch j delays (I-1-j)*M groups; interleave+deinterleave = pure
+    delay of I*M*(I-1) bytes."""
+    hist = I * M * (I - 1)
+    t = np.arange(x.shape[0])
+    idx = hist + t - I * M * ((I - 1) - (t % I))
+    ext = jnp.concatenate([tail, x])
+    return ext[jnp.asarray(idx)], ext[ext.shape[0] - hist:]
+
+
+def conv_interleaver_init(I: int = 12, M: int = 17):
+    return jnp.zeros(I * M * (I - 1), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# inner (punctured convolutional) coder
+# ---------------------------------------------------------------------------
+
+def inner_code_bits(bits, code_rate: str):
+    """bit stream [N] (N multiple of cr_k) -> punctured coded bits.
+    Fresh (zero) register at stream start; parallel windowed parity."""
+    coded = fec.cc_encode(bits, 7, 2, [_G1, _G2], start_state=0,
+                          mode=fec.CC_STREAMING)
+    pat = _PUNCTURE[code_rate]
+    return fec.puncture(coded, len(pat),
+                        int("".join(map(str, pat)), 2))
+
+
+def inner_decode_bits(soft, code_rate: str, nbits: int):
+    """Punctured soft bits (bipolar, +1 = bit 0) -> decoded bits [nbits].
+    Depuncture with 0.0 erasures then Viterbi (free end state)."""
+    pat = _PUNCTURE[code_rate]
+    full = fec.depuncture(soft, len(pat),
+                          int("".join(map(str, pat)), 2), sym=0.0)
+    return fec.cc_decode(full, nbits, 7, 2, [_G1, _G2],
+                         mode=fec.CC_STREAMING, start_state=0)
+
+
+def bytes_to_bits(x):
+    """[..., N] bytes -> [..., 8N] bits MSB first."""
+    x = x.astype(jnp.int32)
+    shifts = jnp.arange(7, -1, -1)
+    return ((x[..., None] >> shifts) & 1).reshape(x.shape[:-1] + (-1,))
+
+
+def bits_to_bytes(b):
+    b = b.astype(jnp.int32).reshape(b.shape[:-1] + (-1, 8))
+    w = jnp.asarray(2 ** np.arange(7, -1, -1), jnp.int32)
+    return jnp.sum(b * w, axis=-1)
+
+
+def bits_to_symbols(b, m: int):
+    """bit stream -> m-bit symbols, MSB first (inner coder output packing)."""
+    b = b.astype(jnp.int32).reshape(b.shape[:-1] + (-1, m))
+    w = jnp.asarray(2 ** np.arange(m - 1, -1, -1), jnp.int32)
+    return jnp.sum(b * w, axis=-1)
+
+
+def symbols_to_bits(s, m: int):
+    s = s.astype(jnp.int32)
+    shifts = jnp.arange(m - 1, -1, -1)
+    return ((s[..., None] >> shifts) & 1).reshape(s.shape[:-1] + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# bit inner interleaver (EN 300 744 sec 4.3.4.1, non-hierarchical)
+# ---------------------------------------------------------------------------
+
+_BIT_OFFSETS = [0, 63, 105, 42, 21, 84]
+BSIZE = 126
+
+
+def _bit_perm(v: int) -> np.ndarray:
+    """stream index for input bit k (MSB first): perm(k) =
+    k // (v/2) + 2*(k % (v/2))  (dvbt_bit_inner_interleaver d_perm, NH)."""
+    h = v // 2
+    return np.array([(k // h) + 2 * (k % h) for k in range(v)], np.int64)
+
+
+def _bit_interleave_tables(v: int):
+    """out bit e of output symbol w reads input bit kinv[e] of input symbol
+    (w + off[e]) % 126."""
+    perm = _bit_perm(v)
+    kinv = np.argsort(perm)  # stream e <- input bit kinv[e]
+    W = np.zeros((BSIZE, v), np.int64)
+    for w in range(BSIZE):
+        for e in range(v):
+            W[w, e] = (w + _BIT_OFFSETS[e]) % BSIZE
+    return W, kinv
+
+
+def bit_inner_interleave(symbols, v: int):
+    """[..., N] v-bit symbols (N % 126 == 0) -> interleaved symbols."""
+    W, kinv = _bit_interleave_tables(v)
+    s = symbols.astype(jnp.int32).reshape(symbols.shape[:-1] + (-1, BSIZE))
+    bits = ((s[..., None] >> jnp.asarray(v - 1 - kinv)) & 1)  # [..., B, 126, v]
+    # out[w] bit e = bits[W[w,e], e]
+    gathered = bits[..., jnp.asarray(W), jnp.arange(v)]       # [..., B, 126, v]
+    wgt = jnp.asarray(2 ** np.arange(v - 1, -1, -1), jnp.int32)
+    out = jnp.sum(gathered * wgt, axis=-1)
+    return out.reshape(symbols.shape)
+
+
+def bit_inner_deinterleave(symbols, v: int):
+    W, kinv = _bit_interleave_tables(v)
+    s = symbols.astype(jnp.int32).reshape(symbols.shape[:-1] + (-1, BSIZE))
+    # forward: out[w] bit e = in[W[w,e]] bit (v-1-kinv[e])
+    # inverse scatter -> gather formulation: in[i] bit (v-1-kinv[e]) =
+    # out[w] bit e with w = (i - off[e]) % 126
+    Winv = np.zeros((BSIZE, v), np.int64)
+    for i in range(BSIZE):
+        for e in range(v):
+            Winv[i, e] = (i - _BIT_OFFSETS[e]) % BSIZE
+    bits_out = ((s[..., None] >> jnp.asarray(v - 1 - np.arange(v))) & 1)
+    g = bits_out[..., jnp.asarray(Winv), jnp.arange(v)]       # [..., B, 126, v]
+    # g[..., i, e] = bit for stream e at position i -> input bit kinv[e]
+    wgt = np.zeros(v, np.int64)
+    out = jnp.zeros(s.shape, jnp.int32)
+    for e in range(v):
+        out = out + g[..., e] * (1 << (v - 1 - int(kinv[e])))
+    return out.reshape(symbols.shape)
+
+
+# ---------------------------------------------------------------------------
+# symbol inner interleaver (EN 300 744 sec 4.3.4.2)
+# ---------------------------------------------------------------------------
+
+_SYM_BIT_PERM = {T2K: [4, 3, 9, 6, 2, 8, 1, 5, 7, 0],
+                 T8K: [7, 1, 4, 2, 9, 6, 8, 10, 0, 3, 11, 5]}
+
+
+def symbol_interleaver_H(mode: str) -> np.ndarray:
+    """The H(q) permutation table (dvbt_symbol_inner_interleaver generate_H)."""
+    fft = 2048 if mode == T2K else 8192
+    Nmax = 1512 if mode == T2K else 6048
+    Nr = int(np.ceil(np.log2(fft)))
+    perm = _SYM_BIT_PERM[mode]
+    H = np.zeros(Nmax, np.int64)
+    q = 0
+    reg = 0
+    for i in range(fft):
+        if i == 0 or i == 1:
+            reg = 0
+        elif i == 2:
+            reg = 1
+        else:
+            if mode == T2K:
+                nb = (reg ^ (reg >> 3)) & 1
+            else:
+                nb = (reg ^ (reg >> 1) ^ (reg >> 4) ^ (reg >> 6)) & 1
+            reg = ((reg >> 1) | (nb << (Nr - 2))) & ((1 << Nr) - 1)
+        newreg = 0
+        for k in range(Nr - 1):
+            newreg |= ((reg >> k) & 1) << perm[k]
+        h = ((i % 2) << (Nr - 1)) + newreg
+        if h < Nmax:
+            H[q] = h
+            q += 1
+            if q == Nmax:
+                break
+    return H
+
+
+def _symbol_perm_table(mode: str, nsym: int, start_symbol: int,
+                       inverse: bool) -> np.ndarray:
+    """Per-symbol gather table [nsym, payload]. Forward interleave on even
+    symbols is a scatter out[H(q)]=in[q], i.e. a gather by argsort(H)."""
+    H = symbol_interleaver_H(mode)
+    Hinv = np.argsort(H)
+    tab = np.zeros((nsym, len(H)), np.int64)
+    for s in range(nsym):
+        even = ((start_symbol + s) % 68) % 2 == 0
+        if inverse:
+            tab[s] = H if even else Hinv
+        else:
+            tab[s] = Hinv if even else H
+    return tab
+
+
+def symbol_interleave(symbols, mode: str, start_symbol: int = 0):
+    """[..., nsym, payload] -> interleaved; even symbol index: out[H(q)] =
+    in[q]; odd: out[q] = in[H(q)] (one batched gather)."""
+    nsym = symbols.shape[-2]
+    tab = _symbol_perm_table(mode, nsym, start_symbol, inverse=False)
+    return jnp.take_along_axis(symbols, jnp.asarray(tab), axis=-1)
+
+
+def symbol_deinterleave(symbols, mode: str, start_symbol: int = 0):
+    nsym = symbols.shape[-2]
+    tab = _symbol_perm_table(mode, nsym, start_symbol, inverse=True)
+    return jnp.take_along_axis(symbols, jnp.asarray(tab), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# QAM map (EN 300 744 sec 4.3.5, dvbt_map_impl make_constellation_points)
+# ---------------------------------------------------------------------------
+
+def _bin_to_gray(x: int) -> int:
+    return x ^ (x >> 1)
+
+
+def dvbt_constellation(size: int, step: int, alpha: int, gain: float
+                       ) -> np.ndarray:
+    """points[symbol_value] = complex point (the reference's construction)."""
+    pts = np.zeros(size, np.complex64)
+    nbits_axis = int(np.log2(size)) // 2
+    steps_axis = int(np.sqrt(size)) // 2 - 1
+    for i in range(size):
+        q = (i >> (2 * (nbits_axis - 1))) & 3
+        sign0 = -1 if (q >> 1) else 1
+        sign1 = -1 if (q & 1) else 1
+        x = (i >> (nbits_axis - 1)) & ((1 << (nbits_axis - 1)) - 1)
+        y = i & ((1 << (nbits_axis - 1)) - 1)
+        xval = alpha + (steps_axis - x) * step
+        yval = alpha + (steps_axis - y) * step
+        val = (_bin_to_gray(x) << (nbits_axis - 1)) + _bin_to_gray(y)
+        xx = yy = 0
+        for j in range(nbits_axis - 1):
+            xx += ((val >> (1 + 2 * j)) & 1) << j
+            yy += ((val >> (2 * j)) & 1) << j
+        val = (q << (2 * (nbits_axis - 1))) + (xx << (nbits_axis - 1)) + yy
+        pts[val] = gain * complex(sign0 * xval, sign1 * yval)
+    return pts
+
+
+def dvbt_map(symbols, cfg: DVBTConfig, gain: float = 1.0):
+    pts = dvbt_constellation(cfg.constellation_size, cfg.step, cfg.alpha,
+                             gain * cfg.norm)
+    return jnp.asarray(pts)[symbols.astype(jnp.int32)]
+
+
+def dvbt_demap(points, cfg: DVBTConfig, gain: float = 1.0):
+    """Nearest-point hard demap (dvbt_demap_impl equivalent)."""
+    pts = dvbt_constellation(cfg.constellation_size, cfg.step, cfg.alpha,
+                             gain * cfg.norm)
+    d = jnp.abs(points[..., None] - jnp.asarray(pts)) ** 2
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# reference signals / pilots (EN 300 744 secs 4.5, 4.6)
+# ---------------------------------------------------------------------------
+
+def _wk(ncar: int) -> np.ndarray:
+    """PRBS 1+x^2+x^11, all-ones init, one bit per carrier."""
+    reg = (1 << 11) - 1
+    out = np.zeros(ncar, np.int64)
+    for k in range(ncar):
+        out[k] = reg & 1
+        nb = ((reg >> 2) ^ reg) & 1
+        reg = (reg >> 1) | (nb << 10)
+    return out
+
+
+def _tps_bits(cfg: DVBTConfig, frame_index: int, wk0: int) -> np.ndarray:
+    """68 TPS bits for one frame (format_tps_data + generate_bch_code)."""
+    bits = np.zeros(68, np.int64)
+
+    def setb(start, stop, data):
+        for i in range(start, stop - 1, -1):
+            bits[i] = data & 1
+            data >>= 1
+
+    bits[0] = wk0
+    setb(16, 1, 0xCA11 if frame_index % 2 else 0x35EE)
+    setb(22, 17, 0x1F if cfg.include_cell_id else 0x17)
+    setb(24, 23, frame_index)
+    setb(26, 25, {"qpsk": 0, "16qam": 1, "64qam": 2}[cfg.constellation])
+    setb(29, 27, 0)  # non-hierarchical
+    rate_code = {C1_2: 0, C2_3: 1, C3_4: 2, C5_6: 3, C7_8: 4}[cfg.code_rate]
+    setb(32, 30, rate_code)
+    setb(35, 33, rate_code)  # LP mirrors HP in non-hierarchical
+    setb(37, 36, {GI_1_32: 0, GI_1_16: 1, GI_1_8: 2, GI_1_4: 3}[cfg.guard])
+    setb(39, 38, 0 if cfg.mode == T2K else 1)
+    if frame_index % 2:
+        setb(47, 40, cfg.cell_id & 0xFF)
+    else:
+        setb(47, 40, (cfg.cell_id >> 8) & 0xFF)
+    setb(53, 48, 0)
+    # BCH(67,53) parity via the shortened BCH(127,113) LFSR,
+    # poly X^14+X^9+X^8+X^6+X^5+X^4+X^2+X+1
+    reg = 0
+    data_in = np.concatenate([np.zeros(60, np.int64), bits[1:54]])
+    for i in range(113):
+        fb = 1 & (int(data_in[i]) ^ reg)
+        reg >>= 1
+        reg |= fb << 13
+        reg ^= ((fb << 12) | (fb << 11) | (fb << 9) | (fb << 8) |
+                (fb << 7) | (fb << 5) | (fb << 4))
+    for i in range(14):
+        bits[i + 54] = (reg >> i) & 1
+    return bits
+
+
+class DVBTPilots:
+    """Precomputed superframe pilot/payload structure for one config.
+
+    For each of the 272 symbols in a superframe (4 frames x 68 symbols):
+      payload_pos [4, payload]  — data carrier indices (depends on s%4 only)
+      grid       [272, ncar]    — pilot values (scattered+continual+TPS),
+                                   zero at payload positions
+    """
+
+    def __init__(self, cfg: DVBTConfig):
+        self.cfg = cfg
+        ncar = cfg.ncarriers
+        wk = _wk(ncar)
+        self.wk = wk
+        cpil = CONTINUAL_PILOTS_2K if cfg.mode == T2K else CONTINUAL_PILOTS_8K
+        tpsc = TPS_CARRIERS_2K if cfg.mode == T2K else TPS_CARRIERS_8K
+        boost = 4.0 / 3.0 * 2.0 * (0.5 - wk)
+        plain = 2.0 * (0.5 - wk)
+
+        payload_pos = np.zeros((4, cfg.payload_length), np.int64)
+        base_grid = np.zeros((4, ncar), np.float64)
+        for sm in range(4):
+            spil = np.arange(3 * sm, ncar, 12)
+            pilset = set(spil.tolist()) | set(cpil.tolist()) | set(tpsc.tolist())
+            pay = np.array([k for k in range(ncar) if k not in pilset])
+            assert len(pay) == cfg.payload_length, (len(pay), cfg.payload_length)
+            payload_pos[sm] = pay
+            g = np.zeros(ncar)
+            g[spil] = boost[spil]
+            g[cpil] = boost[cpil]
+            base_grid[sm] = g
+        self.payload_pos = payload_pos
+
+        # TPS DBPSK values for the whole superframe
+        grid = np.zeros((4 * 68, ncar), np.float64)
+        for f in range(4):
+            tps = _tps_bits(cfg, f, int(wk[0]))
+            # sign[s] = (-1)^{sum tps[1..s]}; sign[0] = +1
+            flips = np.cumsum(tps[1:]) % 2
+            sign = np.concatenate([[0], flips])
+            for s in range(68):
+                row = base_grid[s % 4].copy()
+                row[tpsc] = plain[tpsc] * (1 - 2 * sign[s])
+                grid[f * 68 + s] = row
+        self.grid = grid
+
+    def insert(self, payload, start_symbol: int = 0):
+        """payload: [..., nsym, payload_length] complex -> [..., nsym, ncar]
+        with pilots. start_symbol indexes into the superframe (mod 272)."""
+        cfg = self.cfg
+        nsym = payload.shape[-2]
+        sidx = (start_symbol + np.arange(nsym)) % 272
+        pos = jnp.asarray(self.payload_pos[sidx % 4])        # [nsym, payload]
+        grid = jnp.asarray(self.grid[sidx], jnp.complex64)   # [nsym, ncar]
+        out = grid
+        sym_ids = jnp.arange(nsym)[:, None]
+        out = out.at[..., sym_ids, pos].add(payload.astype(jnp.complex64))
+        return out
+
+    def extract(self, carriers, start_symbol: int = 0):
+        """[..., nsym, ncar] -> payload [..., nsym, payload_length]."""
+        nsym = carriers.shape[-2]
+        sidx = (start_symbol + np.arange(nsym)) % 272
+        pos = jnp.asarray(self.payload_pos[sidx % 4])
+        sym_ids = jnp.arange(nsym)[:, None]
+        return carriers[..., sym_ids, pos]
+
+
+def ofdm_modulate(carriers, cfg: DVBTConfig):
+    """[..., nsym, ncar] -> [..., nsym, fft]: pad, ifftshift halves,
+    unnormalized IFFT * 1/sqrt(27*payload) (reference lines 1230-1240)."""
+    pad_l = jnp.zeros(carriers.shape[:-1] + (cfg.zeros_on_left,), carriers.dtype)
+    pad_r = jnp.zeros(carriers.shape[:-1] + (cfg.zeros_on_right,), carriers.dtype)
+    spec = jnp.concatenate([pad_l, carriers, pad_r], axis=-1)
+    half = cfg.fft_length // 2
+    swapped = jnp.concatenate([spec[..., half:], spec[..., :half]], axis=-1)
+    norm = 1.0 / np.sqrt(27.0 * cfg.payload_length)
+    return jnp.fft.ifft(swapped, axis=-1) * (cfg.fft_length * norm)
+
+
+def ofdm_demodulate(time_syms, cfg: DVBTConfig):
+    """Inverse of ofdm_modulate (known symbol timing)."""
+    norm = 1.0 / np.sqrt(27.0 * cfg.payload_length)
+    spec = jnp.fft.fft(time_syms, axis=-1) / (cfg.fft_length * norm)
+    half = cfg.fft_length // 2
+    unswapped = jnp.concatenate([spec[..., half:], spec[..., :half]], axis=-1)
+    return unswapped[..., cfg.zeros_on_left:
+                     cfg.zeros_on_left + cfg.ncarriers]
+
+
+def cyclic_prefix(time_syms, cfg: DVBTConfig):
+    """[..., nsym, fft] -> [..., nsym, guard+fft]."""
+    g = cfg.guard_length
+    return jnp.concatenate([time_syms[..., -g:], time_syms], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# full TX chain / loopback RX
+# ---------------------------------------------------------------------------
+
+def dvbt_tx(ts_bytes, cfg: DVBTConfig, pilots: DVBTPilots | None = None,
+            disperse: bool = True):
+    """MPEG-TS bytes -> DVB-T baseband (time domain, with guard intervals).
+
+    Input length must produce a whole number of OFDM symbols:
+    bits_per_sym = payload * m * cr_k/cr_n; input bytes per symbol group
+    must divide 8-packet dispersal groups AND symbol payloads; callers
+    typically pass one superframe's worth (use dvbt_tx_bytes_per_superframe).
+    """
+    if pilots is None:
+        pilots = DVBTPilots(cfg)
+    disp = energy_dispersal(ts_bytes) if disperse else ts_bytes
+    coded = rs_encode_packets(disp)
+    intl, _ = conv_interleave(coded.reshape(-1), conv_interleaver_init())
+    bits = bytes_to_bits(intl)
+    cbits = inner_code_bits(bits, cfg.code_rate)
+    syms = bits_to_symbols(cbits, cfg.m)
+    syms = bit_inner_interleave(syms, cfg.m)
+    nsym = syms.shape[0] // cfg.payload_length
+    syms = syms.reshape(nsym, cfg.payload_length)
+    syms = symbol_interleave(syms, cfg.mode)
+    pts = dvbt_map(syms, cfg)
+    grid = pilots.insert(pts)
+    td = ofdm_modulate(grid, cfg)
+    return cyclic_prefix(td, cfg).reshape(-1)
+
+
+def dvbt_tx_bytes_per_superframe(cfg: DVBTConfig) -> int:
+    """TS bytes that map exactly onto one 272-symbol superframe. NOTE:
+    energy dispersal needs 8-packet (1504-byte) alignment, so feed dvbt_tx
+    a whole number of superframes whose packet count is divisible by 8
+    (2 superframes for QPSK 1/2 in 2k mode)."""
+    coded_bits = 272 * cfg.payload_length * cfg.m
+    return coded_bits * cfg.cr_k // cfg.cr_n // 8 * 188 // 204
+
+
+def dvbt_rx_loopback(baseband, cfg: DVBTConfig, nbytes: int,
+                     pilots: DVBTPilots | None = None,
+                     disperse: bool = True):
+    """Perfect-sync receive chain (inverse of dvbt_tx) for loopback QA."""
+    if pilots is None:
+        pilots = DVBTPilots(cfg)
+    slen = cfg.fft_length + cfg.guard_length
+    syms_td = baseband.reshape(-1, slen)[..., cfg.guard_length:]
+    grid = ofdm_demodulate(syms_td, cfg)
+    pts = pilots.extract(grid)
+    syms = dvbt_demap(pts, cfg)
+    syms = symbol_deinterleave(syms, cfg.mode)
+    syms = bit_inner_deinterleave(syms.reshape(-1), cfg.m)
+    cbits = symbols_to_bits(syms, cfg.m)
+    soft = 1.0 - 2.0 * cbits.astype(jnp.float32)
+    nbits = nbytes * 204 // 188 * 8
+    bits = inner_decode_bits(soft, cfg.code_rate, nbits)
+    by = bits_to_bytes(bits)
+    deintl, _ = conv_deinterleave(
+        jnp.concatenate([by.astype(jnp.int32),
+                         jnp.zeros(12 * 17 * 11, jnp.int32)]),
+        conv_interleaver_init())
+    deintl = deintl[12 * 17 * 11:]  # compensate interleaver+deint delay
+    data = rs_decode_packets(deintl[:nbytes * 204 // 188])
+    return energy_descramble(data) if disperse else data
