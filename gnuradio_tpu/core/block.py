@@ -72,6 +72,45 @@ class Block:
             Block._name_counter[cls] = n + 1
             name = f"{cls}{n}"
         self.name = name
+        # message-passing plane (basic_block.h:179-182, 377) — host-side
+        self._msg_in: dict = {}      # port name -> handler or None
+        self._msg_out: set = set()
+        self._msg_outbox: list = []  # [(port, msg)] pending publication
+
+    # ---- message ports (async host-side control plane) ----
+    def message_port_register_in(self, name: str, handler=None):
+        self._msg_in[name] = handler
+
+    def message_port_register_out(self, name: str):
+        self._msg_out.add(name)
+
+    def set_msg_handler(self, port: str, handler):
+        if port not in self._msg_in:
+            raise ValueError(f"{self}: no input message port {port!r}")
+        self._msg_in[port] = handler
+
+    def post(self, port: str, msg):
+        """message_port_pub analog: queue msg for delivery after this step."""
+        if port not in self._msg_out:
+            raise ValueError(f"{self}: no output message port {port!r}")
+        self._msg_outbox.append((port, msg))
+
+    def deliver(self, port: str, msg):
+        h = self._msg_in.get(port)
+        if h is not None:
+            h(msg)
+
+    def drain_outbox(self):
+        out, self._msg_outbox = self._msg_outbox, []
+        return out
+
+    def msg_work(self, step_index: int):
+        """Per-step host hook for message-only blocks (strobe-style)."""
+
+    # ---- stream tag hooks (see core.tags) ----
+    # Blocks creating/consuming tags data-dependently override this; pure
+    # DSP blocks inherit policy-based propagation (tag_policy class attr).
+    transform_tags = None
 
     # Default rates: sync across all ports.
     @property
@@ -247,6 +286,15 @@ class SinkBlock(Block):
     # Host-side accumulation hook; runner calls once per step with the
     # materialized tap value.
     def collect(self, value):
+        pass
+
+    # Tag sideband: runner delivers input-window tags each step.
+    def collect_tags(self, tags):
+        pass
+
+    # Runner calls with the exact expected item count (head semantics);
+    # sinks that buffer items override this.
+    def trim(self, n_items: int):
         pass
 
 

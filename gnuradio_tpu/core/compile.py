@@ -35,7 +35,10 @@ class CompiledGraph:
                  target_items: int = 16384):
         fg.validate()
         self.fg = fg
-        self.order = fg.topological_sort()
+        full_order = fg.topological_sort()
+        # message-only blocks live on the host plane, outside the jitted step
+        self.msg_only = [b for b in full_order if not (b.nin or b.nout)]
+        self.order = [b for b in full_order if b.nin or b.nout]
         self.rates = fg.solve_rates()
         base = fg.natural_step()
         if chunk_mult is None:
@@ -98,6 +101,9 @@ class CompiledGraph:
 
     def init_state(self) -> dict:
         return {b.name: b.init_state() for b in self.order}
+
+    def all_blocks(self):
+        return self.order + self.msg_only
 
     def fed_chunk_sizes(self) -> dict:
         """Items per step each host-fed source must supply."""

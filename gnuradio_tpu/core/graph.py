@@ -51,6 +51,9 @@ class Flowgraph:
     def __init__(self):
         self.edges: list[Edge] = []
         self._blocks: list[Block] = []  # insertion order
+        # message edges: (src_block, out_port_name, dst_block, in_port_name)
+        # (flowgraph msg_connect analog, flat_flowgraph.cc:61-69)
+        self.msg_edges: list[tuple] = []
 
     # ---- construction ----
     def add(self, *blocks: Block):
@@ -82,9 +85,19 @@ class Flowgraph:
         self.add(sb, db)
         self.edges.append(Edge(src, dst))
 
+    def msg_connect(self, src: Block, src_port: str, dst: Block, dst_port: str):
+        """Async message edge (hier_block2::msg_connect analog)."""
+        if src_port not in src._msg_out:
+            raise ValueError(f"{src} has no output message port {src_port!r}")
+        if dst_port not in dst._msg_in:
+            raise ValueError(f"{dst} has no input message port {dst_port!r}")
+        self.add(src, dst)
+        self.msg_edges.append((src, src_port, dst, dst_port))
+
     def disconnect_all(self):
         self.edges = []
         self._blocks = []
+        self.msg_edges = []
 
     # ---- queries ----
     @property
@@ -101,6 +114,8 @@ class Flowgraph:
     # ---- validation (flowgraph.cc:68-122 analog) ----
     def validate(self):
         for b in self._blocks:
+            if b.nin == 0 and b.nout == 0:
+                continue  # message-only block: no stream constraints
             connected_in = {e.dst.port for e in self.in_edges(b)}
             if connected_in != set(range(b.nin)):
                 missing = set(range(b.nin)) - connected_in
@@ -111,7 +126,9 @@ class Flowgraph:
             missing_out = set(range(b.nout)) - connected_out
             if missing_out:
                 raise ValueError(f"{b}: unconnected output ports {sorted(missing_out)}")
-        if not any(isinstance(b, SourceBlock) or b.nin == 0 for b in self._blocks):
+        stream_blocks = [b for b in self._blocks if b.nin or b.nout]
+        if stream_blocks and not any(
+                isinstance(b, SourceBlock) or b.nin == 0 for b in stream_blocks):
             raise ValueError("flowgraph has no source blocks")
 
     # ---- topo sort (flowgraph.cc:382 analog; Kahn) ----
@@ -143,7 +160,7 @@ class Flowgraph:
         flowgraph the reference scheduler would deadlock/starve on).
         """
         t: dict[Block, Fraction] = {}
-        order = self.topological_sort()
+        order = [b for b in self.topological_sort() if b.nin or b.nout]
         if not order:
             return {}
         # BFS over undirected connectivity, unifying constraints
@@ -179,7 +196,7 @@ class Flowgraph:
                     else:
                         t[sb] = want
                         pending.append(sb)
-        missing = [b for b in self._blocks if b not in t]
+        missing = [b for b in self._blocks if b not in t and (b.nin or b.nout)]
         if missing:
             raise ValueError(f"disconnected blocks (no rate path): {missing}")
         return t

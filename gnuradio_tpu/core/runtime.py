@@ -29,6 +29,65 @@ from .block import SinkBlock, SourceBlock
 from .stream import host_decode
 from .compile import CompiledGraph
 from .graph import Flowgraph
+from .tags import Tag, TagStream, propagate, TPP_DONT
+
+
+class _TagEngine:
+    """Host sideband: advances per-edge tag streams one step at a time with
+    the exact rational rate algebra the compiler solved (the block_executor
+    propagate_tags analog — see core.tags module docstring)."""
+
+    def __init__(self, cg: CompiledGraph):
+        self.cg = cg
+        self.streams = {id(e): TagStream() for e in cg.fg.edges}
+        self.read = {b: 0 for b in cg.order}      # absolute items consumed
+        self.written = {b: 0 for b in cg.order}   # absolute items produced
+
+    def step(self):
+        cg = self.cg
+        for b in cg.order:
+            nin = cg.n_in[b][0] if b.nin else 0
+            nout = cg.n_out[b][0] if b.nout else 0
+            r0, w0 = self.read[b], self.written[b]
+            tags_in = []
+            for e in cg.fg.in_edges(b):
+                s = self.streams[id(e)]
+                tags_in.extend(s.get_range(r0, r0 + nin))
+                s.prune(r0 + nin)
+            tags_in.sort()
+            if isinstance(b, SinkBlock):
+                b.collect_tags(tags_in)
+            elif b.nout:
+                if isinstance(b, SourceBlock):
+                    src_tags = getattr(b, "stream_tags", None) or []
+                    out_tags = [t for t in src_tags
+                                if w0 <= t.offset < w0 + nout]
+                elif b.transform_tags is not None:
+                    out_tags = b.transform_tags(
+                        tags_in, (r0, r0 + nin), (w0, w0 + nout))
+                else:
+                    rrate = ((b.out_rates[0] / b.in_rates[0])
+                             if b.nin else Fraction(1))
+                    out_tags = propagate(tags_in, b.tag_policy, rrate)
+                for e in cg.fg.out_edges(b):
+                    self.streams[id(e)].extend(out_tags)
+            self.read[b] = r0 + nin
+            self.written[b] = w0 + nout
+
+
+def _dispatch_messages(cg: CompiledGraph, max_rounds: int = 100):
+    """Drain every block's outbox along msg edges until quiescent (bounded,
+    the max_messages=100 analog of tpb_thread_body.cc:49)."""
+    for _ in range(max_rounds):
+        progressed = False
+        for b in cg.all_blocks():
+            for port, msg in b.drain_outbox():
+                for (sb, sp, db, dp) in cg.fg.msg_edges:
+                    if sb is b and sp == port:
+                        db.deliver(dp, msg)
+                        progressed = True
+        if not progressed:
+            return
 
 
 class TopBlock:
@@ -84,6 +143,7 @@ class TopBlock:
             need = max(math.ceil(b.limit / _per_step(b)) for b in limited)
             steps_limit = need if steps_limit is None else min(steps_limit, need)
 
+        tag_engine = _TagEngine(cg)
         step_i = 0
         anchor_seen = {b: 0 for b in limited}
         while steps_limit is None or step_i < steps_limit:
@@ -105,6 +165,10 @@ class TopBlock:
             for sink in cg.sinks:
                 sink.collect(host_decode(np.asarray(taps[sink.name]),
                                          sink.in_ports[0]))
+            tag_engine.step()
+            for b in cg.all_blocks():
+                b.msg_work(step_i)
+            _dispatch_messages(cg)
             for b in anchor_seen:
                 anchor_seen[b] += cg.n_in[b][0] if b.nin else cg.n_out[b][0]
             step_i += 1

