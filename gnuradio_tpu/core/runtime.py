@@ -99,6 +99,8 @@ class TopBlock:
         self._jit = jit
         self._compiled: CompiledGraph | None = None
         self.state = None
+        from ..utils.perf import PerfCounters
+        self.perf = PerfCounters()
 
     # gr-style sugar
     def connect(self, *points):
@@ -161,11 +163,16 @@ class TopBlock:
                 raise RuntimeError(
                     "graph has no host-fed or item-limited source and no "
                     "n_steps bound — it would run forever")
-            state, taps = cg.step(state, fed)
+            anchor_b = cg.order[0]
+            n_anchor_step = (cg.n_out[anchor_b][0] if anchor_b.nout
+                             else cg.n_in[anchor_b][0])
+            with self.perf.measure(items=n_anchor_step):
+                state, taps = cg.step(state, fed)
+                taps = {k: np.asarray(v) for k, v in taps.items()}
+            tag_engine.step()  # deliver this window's tags before collect
             for sink in cg.sinks:
-                sink.collect(host_decode(np.asarray(taps[sink.name]),
+                sink.collect(host_decode(taps[sink.name],
                                          sink.in_ports[0]))
-            tag_engine.step()
             for b in cg.all_blocks():
                 b.msg_work(step_i)
             _dispatch_messages(cg)

@@ -1,0 +1,219 @@
+"""Distributed stream/message transport — the gr-zeromq analog (DCN plane).
+
+Reference parity:
+  gr-zeromq/lib/base_impl.cc:38-80   — socket setup, HWM backpressure
+  gr-zeromq/lib/tag_headers.cc:16-50 — in-band tag header: magic, version,
+      absolute offset, ntags, PMT-serialized tags, then raw samples
+  gr-zeromq QA (qa_zeromq_pubsub.py etc.) — both ends in one process over
+      localhost, asserting sample+tag fidelity across the hop
+
+TPU design split (SURVEY.md §2.4/§5): *intra-slice* streams move over ICI
+via jax collectives inside shard_map (parallel.halo); this module is the
+*inter-host / DCN* seam — plain TCP with length-prefixed frames (PUSH/PULL
+semantics: connection-oriented, kernel backpressure = the HWM analog).
+Frames carry the same metadata the reference serializes: absolute item
+offset + stream tags, so offset bookkeeping survives the hop exactly.
+
+Wire frame:
+    u32 frame_len (bytes after this field)
+    u16 magic 0x5FF1 | u8 version 1 | u8 kind (0=stream, 1=message)
+    u64 offset | u32 nitems | u32 itemsize | u32 ntags
+    ntags x pmt-serialized (offset, key, value, srcid)
+    payload: nitems*itemsize raw bytes (native endian)
+"""
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import numpy as np
+
+from ..core import pmt
+from ..core.block import SinkBlock, SourceBlock
+from ..core.stream import PortSpec, C, host_encode
+from ..core.tags import Tag
+
+MAGIC = 0x5FF1
+KIND_STREAM, KIND_MSG = 0, 1
+
+
+def _pack_frame(kind: int, offset: int, payload: bytes, itemsize: int,
+                nitems: int, tags) -> bytes:
+    tag_blobs = b"".join(
+        pmt.serialize((t.offset, t.key, t.value, t.srcid)) for t in tags)
+    body = struct.pack("<HBBQIII", MAGIC, 1, kind, offset, nitems, itemsize,
+                       len(tags)) + tag_blobs + payload
+    return struct.pack("<I", len(body)) + body
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
+
+
+def _unpack_frame(body: bytes):
+    magic, ver, kind, offset, nitems, itemsize, ntags = struct.unpack_from(
+        "<HBBQIII", body, 0)
+    if magic != MAGIC or ver != 1:
+        raise ValueError("bad frame header")
+    pos = struct.calcsize("<HBBQIII")
+    tags = []
+    for _ in range(ntags):
+        val, pos = pmt._deser(body, pos)
+        toff, key, value, srcid = val
+        tags.append(Tag(toff, key, value, srcid))
+    payload = body[pos:]
+    return kind, offset, nitems, itemsize, tags, payload
+
+
+class StreamServer:
+    """PUSH-side listener: accepts one peer, sends frames (kernel TCP
+    backpressure plays the HWM role)."""
+
+    def __init__(self, bind_addr: str = "127.0.0.1", port: int = 0):
+        self._lsock = socket.socket()
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((bind_addr, port))
+        self._lsock.listen(1)
+        self.port = self._lsock.getsockname()[1]
+        self._conn = None
+        self._lock = threading.Lock()
+
+    def _ensure(self):
+        if self._conn is None:
+            self._conn, _ = self._lsock.accept()
+            self._conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def send_items(self, arr: np.ndarray, offset: int, tags=()):
+        self._ensure()
+        a = np.ascontiguousarray(arr)
+        frame = _pack_frame(KIND_STREAM, offset, a.tobytes(), a.dtype.itemsize
+                            * (a.shape[1] if a.ndim > 1 else 1),
+                            a.shape[0], tags)
+        with self._lock:
+            self._conn.sendall(frame)
+
+    def send_message(self, msg):
+        self._ensure()
+        blob = pmt.serialize(msg)
+        frame = _pack_frame(KIND_MSG, 0, blob, 1, len(blob), ())
+        with self._lock:
+            self._conn.sendall(frame)
+
+    def close(self):
+        for s in (self._conn, self._lsock):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass
+        self._conn = None
+
+
+class StreamClient:
+    """PULL-side: connects and reads frames."""
+
+    def __init__(self, addr: str, port: int, timeout: float = 10.0):
+        self._sock = socket.create_connection((addr, port), timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def recv_frame(self):
+        """-> (kind, offset, nitems, itemsize, tags, payload) or None on
+        EOF."""
+        hdr = _read_exact(self._sock, 4)
+        if hdr is None:
+            return None
+        (n,) = struct.unpack("<I", hdr)
+        body = _read_exact(self._sock, n)
+        if body is None:
+            return None
+        return _unpack_frame(body)
+
+    def recv_items(self, dtype):
+        fr = self.recv_frame()
+        if fr is None:
+            return None
+        kind, offset, nitems, itemsize, tags, payload = fr
+        arr = np.frombuffer(payload, dtype=dtype)
+        return arr, offset, tags
+
+    def recv_message(self):
+        fr = self.recv_frame()
+        if fr is None:
+            return None
+        return pmt.deserialize(fr[5])
+
+    def close(self):
+        self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+class TcpStreamSink(SinkBlock):
+    """Stream sink publishing chunks + window tags over TCP
+    (zeromq::push_sink analog)."""
+
+    def __init__(self, server: StreamServer, in_port: PortSpec = PortSpec(C),
+                 name=None):
+        super().__init__(in_port, name)
+        self.server = server
+        self._offset = 0
+        self._pending_tags = []
+
+    def collect_tags(self, tags):
+        self._pending_tags = list(tags)
+
+    def collect(self, value):
+        arr = np.asarray(value)
+        self.server.send_items(arr, self._offset, self._pending_tags)
+        self._offset += arr.shape[0]
+        self._pending_tags = []
+
+
+class TcpStreamSource(SourceBlock):
+    """Host-fed source pulling chunks from TCP (zeromq::pull_source analog).
+    Received tags re-enter the tag sideband at their transported absolute
+    offsets."""
+
+    is_fed = True
+
+    def __init__(self, client: StreamClient, out_port: PortSpec = PortSpec(C),
+                 name=None):
+        super().__init__(out_port, name)
+        self.client = client
+        self.items_supplied = 0
+        self.stream_tags: list = []
+
+    def chunks(self, n: int):
+        np_dtype = np.dtype(self.out_ports[0].dtype)
+        buf = np.zeros(0, np_dtype)
+        self.items_supplied = 0
+        eof = False
+        while not eof:
+            while len(buf) < n:
+                got = self.client.recv_items(np_dtype)
+                if got is None:
+                    eof = True
+                    break
+                arr, offset, tags = got
+                self.stream_tags.extend(tags)
+                buf = np.concatenate([buf, arr])
+            if len(buf) == 0:
+                return
+            chunk, buf = buf[:n], buf[n:]
+            self.items_supplied += len(chunk)
+            if len(chunk) < n:
+                chunk = np.concatenate([chunk, np.zeros(n - len(chunk),
+                                                        np_dtype)])
+            yield host_encode(chunk)
+
+    def apply(self, state, inputs, n_in):
+        return state, (inputs[0],)
