@@ -275,6 +275,13 @@ class SinkBlock(Block):
         self.in_ports = (in_port,)
         self.out_ports = ()
 
+    # Port spec describing the tap value sent to the host (defaults to the
+    # input port; sinks whose tap is a reduction of a different dtype
+    # override this).
+    @property
+    def tap_port(self):
+        return self.in_ports[0]
+
     def tap(self, state, x):
         """Return (state, host_value). Default: forward the chunk."""
         return state, x

@@ -171,8 +171,7 @@ class TopBlock:
                 taps = {k: np.asarray(v) for k, v in taps.items()}
             tag_engine.step()  # deliver this window's tags before collect
             for sink in cg.sinks:
-                sink.collect(host_decode(taps[sink.name],
-                                         sink.in_ports[0]))
+                sink.collect(host_decode(taps[sink.name], sink.tap_port))
             for b in cg.all_blocks():
                 b.msg_work(step_i)
             _dispatch_messages(cg)
