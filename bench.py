@@ -13,10 +13,15 @@ figure) for a comparable FIR-dominated chain.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: the axon tunnel makes first compiles slow
+# (minutes for conv-heavy programs); cache them across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def main():
@@ -35,10 +40,18 @@ def main():
         x = lax.complex(iq_f32[:, 0], iq_f32[:, 1])
         return step(state, x)
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     rng = np.random.default_rng(0)
     iq_host = rng.standard_normal((n, 2), dtype=np.float32) * 0.5
     iq = jax.device_put(iq_host)
-    state = init_state()
+    # init under jit: eager complex array creation is unsupported on the
+    # axon backend (complex exists only inside compiled programs)
+    state = jax.jit(init_state)()
 
     # warm up + compile (fetch a scalar: on some experimental backends
     # block_until_ready returns before execution completes, so a host fetch

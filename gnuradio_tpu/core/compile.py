@@ -100,7 +100,15 @@ class CompiledGraph:
                      if jit else step)
 
     def init_state(self) -> dict:
-        return {b.name: b.init_state() for b in self.order}
+        # Build initial state INSIDE a jitted program: eagerly creating
+        # complex arrays is unsupported on some backends (axon TPU), and one
+        # fused init program beats per-block eager dispatches anyway.
+        def make():
+            return {b.name: b.init_state() for b in self.order}
+        try:
+            return jax.jit(make)()
+        except Exception:
+            return make()
 
     def all_blocks(self):
         return self.order + self.msg_only
