@@ -199,3 +199,58 @@ class TopBlock:
 
     def run_steps(self, n: int):
         return self.run(n_steps=n)
+
+    # ---- checkpoint/resume (beyond the reference, which has none —
+    # SURVEY.md §5; closest analog is file_meta_sink persistence) ----
+    def save_state(self, path: str):
+        """Persist the carried stream state (filter tails, loop phases, NCO
+        accumulators) to an .npz; complex leaves stored as re/im planes so
+        reload never needs complex host<->device transfers."""
+        if self.state is None:
+            raise RuntimeError("no state yet — run at least one step")
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        arrays = {}
+        for i, leaf in enumerate(leaves):
+            a = np.asarray(leaf)
+            if np.iscomplexobj(a):
+                arrays[f"leaf{i}_re"] = a.real.astype(np.float32)
+                arrays[f"leaf{i}_im"] = a.imag.astype(np.float32)
+            else:
+                arrays[f"leaf{i}"] = a
+        import pickle
+        np.savez(path, __treedef__=np.frombuffer(
+            pickle.dumps(treedef), np.uint8), **arrays)
+        return path
+
+    def load_state(self, path: str):
+        """Restore state saved by save_state. State is keyed by BLOCK NAME:
+        give blocks stable names when checkpointing across processes."""
+        import pickle
+        with np.load(path, allow_pickle=False) as z:
+            treedef = pickle.loads(z["__treedef__"].tobytes())
+            leaves = []
+            i = 0
+            while True:
+                if f"leaf{i}" in z:
+                    leaves.append(jnp_asarray_safe(z[f"leaf{i}"]))
+                elif f"leaf{i}_re" in z:
+                    leaves.append(complex_from_planes(z[f"leaf{i}_re"],
+                                                      z[f"leaf{i}_im"]))
+                else:
+                    break
+                i += 1
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return self
+
+
+def jnp_asarray_safe(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
+
+
+def complex_from_planes(re, im):
+    """Rebuild a complex device array from f32 planes inside jit (complex
+    host->device transfers are unsupported on some backends)."""
+    import jax.numpy as jnp
+    return jax.jit(lambda r, i: jax.lax.complex(r, i))(
+        jnp.asarray(re), jnp.asarray(im))
