@@ -485,3 +485,228 @@ def atsc_rx_fields(rs_segments):
     caller dropped the 52 fill segments of a cold-start stream)."""
     payload, _ = rs_decode(rs_segments.reshape(-1))
     return derandomize(payload)
+
+
+# ---------------------------------------------------------------------------
+# RX front end: FPLL, timing sync, field-sync checker, LMS equalizer
+# ---------------------------------------------------------------------------
+
+def fpll(iq, rate, alpha: float = 0.01):
+    """Carrier tracking FPLL (atsc_fpll_impl.cc): NCO mix -> real output;
+    frequency/phase loop driven by fast_atan2 of a single-pole-IIR-smoothed
+    mixed signal. One lax.scan over samples (inherently sequential loop).
+
+    iq: [N] complex64 at `rate` samples/s. Returns ([N] float32, state).
+    """
+    beta = alpha * alpha / 4.0
+    afc_tap = 1.0 - np.exp(-1.0 / rate / 5e-6)
+    freq0 = (-3e6 + 0.309e6) / rate * 2 * np.pi
+
+    def step(carry, z):
+        phase, freq, avg = carry
+        phase = phase + freq
+        phase = jnp.where(phase > np.pi, phase - 2 * np.pi, phase)
+        phase = jnp.where(phase < -np.pi, phase + 2 * np.pi, phase)
+        # note the reference mixes with complex(sin, cos)
+        nco = jax.lax.complex(jnp.sin(phase), jnp.cos(phase))
+        mixed = z * nco
+        avg = avg + afc_tap * (mixed - avg)
+        x = jnp.arctan2(jnp.imag(avg), jnp.real(avg))
+        x = jnp.clip(x, -np.pi / 2, np.pi / 2)
+        phase = phase + alpha * x
+        freq = freq + beta * x
+        return (phase, freq, avg), jnp.real(mixed)
+
+    init = (jnp.float32(0.0), jnp.float32(freq0),
+            jax.lax.complex(jnp.float32(0.0), jnp.float32(0.0)))
+    state, out = jax.lax.scan(step, init, iq)
+    return out, state
+
+
+_ADJUSTMENT_GAIN = 1.0e-5 / (10 * DATA_SEGMENT_LENGTH)
+_SYMBOL_INDEX_OFFSET = 3
+_MIN_SEG_LOCK_CORR = 5
+_SSI_MIN, _SSI_MAX = -16, 15
+
+
+def timing_sync(x, rate):
+    """Segment-sync-driven timing recovery (atsc_sync_impl.cc).
+
+    Baseband real samples [N] at `rate` -> (soft segments [M, 832] float32,
+    aux dict). Per-output-symbol lax.scan: 8-tap fractional interpolation at
+    (si, mu), +5,-5,-5,+5 sign correlator integrated per symbol-position
+    (the SSI), timing adjust from the correlation peak's sample gradient.
+    Segment assembly from the (symbol_index, locked) streams is a vectorized
+    host-side pass instead of the reference's data_mem copy loop.
+    """
+    from .digital_loops import mmse_interp, _NTAPS
+
+    n = x.shape[0]
+    w = float(rate) / SYMBOL_RATE
+    nsym = int((n - _NTAPS - 4) / w)
+    SEG = DATA_SEGMENT_LENGTH
+
+    def step(carry, _):
+        si, mu, adjust, counter, sym_idx, locked, sr, smem, integ = carry
+        sample = mmse_interp(x, si, mu)
+        mu = mu + _ADJUSTMENT_GAIN * 1e3 * adjust
+        s = mu + w
+        incr = jnp.floor(s)
+        mu = s - incr
+        si = si + incr.astype(jnp.int32)
+        smem = smem.at[counter].set(sample)
+        bit = (sample >= 0).astype(jnp.int32)
+        sr = ((bit & 1) << 3) | (sr >> 1)
+        upd = jnp.where(sr == 0x9, 2, -1)
+        integ = integ.at[counter].add(upd)
+        integ = jnp.clip(integ, _SSI_MIN, _SSI_MAX)
+        sym_idx = jnp.where(sym_idx + 1 >= SEG, 0, sym_idx + 1)
+        counter = counter + 1
+
+        def on_wrap(args):
+            adjust, sym_idx, locked = args
+            best = jnp.argmax(integ).astype(jnp.int32)
+            locked = integ[best] >= _MIN_SEG_LOCK_CORR
+            # coefficients +1,+1,-1,-1 over smem[best-3 .. best]
+            idx = (best - jnp.arange(4)) % SEG
+            g = smem[idx]
+            adjust = -g[0] - g[1] + g[2] + g[3]
+            sym_idx = (_SYMBOL_INDEX_OFFSET - 1 - best) % SEG
+            return adjust, sym_idx, locked
+
+        wrapped = counter >= SEG
+        adjust, sym_idx, locked = jax.lax.cond(
+            wrapped, on_wrap, lambda a: a, (adjust, sym_idx, locked))
+        counter = jnp.where(wrapped, 0, counter)
+        out = (sample, sym_idx, locked)
+        return (si, mu, adjust, counter, sym_idx, locked, sr, smem,
+                integ), out
+
+    init = (jnp.int32(0), jnp.float32(0.5), jnp.float32(0.0), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+            jnp.zeros(SEG, jnp.float32),
+            jnp.full(SEG, _SSI_MIN, jnp.int32))
+    _, (samples, sym_idx, locked) = jax.lax.scan(step, init, None,
+                                                 length=nsym)
+    samples = np.asarray(samples)
+    sym_idx = np.asarray(sym_idx)
+    locked = np.asarray(locked)
+    # vectorized segment assembly: a segment ends where sym_idx == 831 and
+    # the preceding 831 positions are contiguous (sym_idx counted up) and
+    # locked throughout
+    ends = np.where(sym_idx == SEG - 1)[0]
+    ends = ends[ends >= SEG - 1]
+    good = (sym_idx[ends - (SEG - 1)] == 0) & locked[ends] & \
+        locked[ends - (SEG - 1)]
+    ends = ends[good]
+    segs = np.stack([samples[e - SEG + 1:e + 1] for e in ends]) \
+        if len(ends) else np.zeros((0, SEG), np.float32)
+    return segs, {"ends": ends, "locked_frac": float(locked.mean())}
+
+
+_PN511_ERROR_LIMIT = 20
+_PN63_ERROR_LIMIT = 5
+_OFFSET_2ND_63 = 4 + 511 + 63
+
+
+def fs_check(segments):
+    """Field-sync detector + segment counter (atsc_fs_checker_impl.cc).
+
+    segments: [N, 832] soft symbols. Returns (data_segments [M, 832],
+    field2 [M] bool, segno [M] int, fs_rows list) where consecutive runs of
+    312 data segments follow each detected field sync; the fs segment
+    itself is not emitted (its training role is handled by equalize()).
+    """
+    segments = np.asarray(segments)
+    sign = segments >= 0
+    pn511_err = (sign[:, 4:4 + 511] ^ (PN511 > 0)).sum(1)
+    pn63_err = (sign[:, _OFFSET_2ND_63:_OFFSET_2ND_63 + 63] ^
+                (PN63 > 0)).sum(1)
+    out_rows, out_f2, out_segno, fs_rows = [], [], [], []
+    field = 0
+    segno = 0
+    for i in range(segments.shape[0]):
+        if pn511_err[i] < _PN511_ERROR_LIMIT:
+            if pn63_err[i] <= _PN63_ERROR_LIMIT:
+                field, segno = 1, 0
+            elif pn63_err[i] >= 63 - _PN63_ERROR_LIMIT:
+                field, segno = 2, 0
+            fs_rows.append(i)
+            continue
+        if field:
+            out_rows.append(i)
+            out_f2.append(field == 2)
+            out_segno.append(segno)
+            segno += 1
+            if segno >= DSEGS_PER_FIELD:
+                field, segno = 0, 0
+    return (segments[out_rows], np.array(out_f2, bool),
+            np.array(out_segno, np.int64), fs_rows)
+
+
+_EQ_NTAPS = 64
+_EQ_NPRETAPS = int(_EQ_NTAPS * 0.8)
+_EQ_BETA = 5e-5
+KNOWN_FIELD_SYNC_LENGTH = 4 + 511 + 3 * 63
+
+
+def _training_levels(field2: bool) -> np.ndarray:
+    bits = _field_sync_bits(bool(field2))[:KNOWN_FIELD_SYNC_LENGTH]
+    return (bits * 10.0 - 5.0).astype(np.float32)
+
+
+def equalize(segments, is_fs, fs_field2, taps=None):
+    """LMS equalizer trained on field sync segments
+    (atsc_equalizer_impl.cc): 64 taps (51 pre, 13 post), sample-by-sample
+    LMS on the 704 known training symbols of each field sync segment;
+    data segments filtered with the frozen taps. Field sync rows are
+    consumed, not emitted.
+
+    segments: [N, 832] in stream order; is_fs: [N] bool; fs_field2: [N]
+    bool (valid where is_fs). Returns ([M, 832] filtered data segments,
+    final taps).
+    """
+    segments = jnp.asarray(segments, jnp.float32)
+    N, SEG = segments.shape
+    if taps is None:
+        taps = jnp.zeros(_EQ_NTAPS, jnp.float32)
+    tr1 = jnp.asarray(_training_levels(False))
+    tr2 = jnp.asarray(_training_levels(True))
+    # ext[i] = [prev 51 | seg | next 13]
+    prev_tail = jnp.concatenate(
+        [jnp.zeros((1, _EQ_NPRETAPS), jnp.float32),
+         segments[:-1, SEG - _EQ_NPRETAPS:]], axis=0)
+    next_head = jnp.concatenate(
+        [segments[1:, :_EQ_NTAPS - _EQ_NPRETAPS],
+         jnp.zeros((1, _EQ_NTAPS - _EQ_NPRETAPS), jnp.float32)], axis=0)
+    ext = jnp.concatenate([prev_tail, segments, next_head], axis=1)
+
+    def lms(taps, args):
+        buf, train = args
+
+        def one(tp, k):
+            win = jax.lax.dynamic_slice(buf, (k,), (_EQ_NTAPS,))
+            e = jnp.dot(win, tp) - train[k]
+            return tp - _EQ_BETA * e * win, None
+
+        taps, _ = jax.lax.scan(one, taps, jnp.arange(
+            KNOWN_FIELD_SYNC_LENGTH))
+        return taps
+
+    def seg_step(taps, args):
+        buf, fs, f2 = args
+        taps = jax.lax.cond(
+            fs,
+            lambda t: lms(t, (buf, jnp.where(f2, tr2, tr1))),
+            lambda t: t, taps)
+        # filter: out[j] = dot(buf[j:j+64], taps)
+        win = jnp.stack([buf[j:j + SEG] for j in range(_EQ_NTAPS)], axis=1)
+        y = win @ taps
+        return taps, y
+
+    taps, filtered = jax.lax.scan(
+        seg_step, taps,
+        (ext, jnp.asarray(np.asarray(is_fs)), jnp.asarray(
+            np.asarray(fs_field2))))
+    keep = ~np.asarray(is_fs)
+    return np.asarray(filtered)[keep], taps
