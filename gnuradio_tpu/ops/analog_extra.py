@@ -428,3 +428,49 @@ def fastnoise_source_c(ampl=1.0, seed=0):
 
 def fastnoise_source_f(ampl=1.0, seed=0):
     return FastnoiseSource(ampl, seed, F)
+
+
+class DPLL(SyncBlock):
+    """dpll_bb: all-digital PLL bit synchronizer (gr-analog/lib/
+    dpll_bb_impl.cc). Input pulses (bytes 0/1) retime onto a steady grid:
+    a phase accumulator advances by 1/period per sample, input pulses pull
+    the phase by `gain`, output pulse fires when the phase crosses the
+    decision threshold (with the reference's 3-pulse restart hold-off).
+    Strictly sequential -> lax.scan."""
+
+    def __init__(self, period: float, gain: float, name=None):
+        super().__init__(PortSpec(B), PortSpec(B), name)
+        self.freq = 1.0 / float(period)
+        self.gain = float(gain)
+        self.thresh = 1.0 - 0.5 * self.freq
+
+    def init_state(self):
+        return {"phase": jnp.float32(0.0), "restart": jnp.int32(0)}
+
+    def work(self, state, x):
+        freq, gain, thresh = self.freq, self.gain, self.thresh
+
+        def step(carry, inp):
+            phase, restart = carry
+            hit = inp == 1
+            phase = jnp.where(
+                hit,
+                jnp.where(restart == 0, jnp.float32(1.0),
+                          jnp.where(phase > 0.5,
+                                    phase + gain * (1.0 - phase),
+                                    phase - gain * phase)),
+                phase)
+            restart = jnp.where(hit, jnp.int32(3), restart)
+            fire = phase > thresh
+            out = jnp.where(fire & (restart > 0), jnp.int8(1), jnp.int8(0))
+            restart = jnp.where(fire & (restart > 0), restart - 1, restart)
+            phase = jnp.where(fire, phase - 1.0, phase) + freq
+            return (phase, restart), out
+
+        (ph, rs), y = jax.lax.scan(
+            step, (state["phase"], state["restart"]), x.astype(jnp.int32))
+        return {"phase": ph, "restart": rs}, y
+
+
+def dpll_bb(period, gain):
+    return DPLL(period, gain)

@@ -288,3 +288,70 @@ class MeasEvm(SinkBlock):
 
 def meas_evm_cc(points):
     return MeasEvm(points)
+
+
+# ---------------------------------------------------------------------------
+# corr_est_cc: known-sequence correlator with amplitude/phase/time estimates
+# ---------------------------------------------------------------------------
+
+class CorrEst(Block):
+    """corr_est_cc (gr-digital/lib/corr_est_cc_impl.cc): correlate the
+    stream against a known modulated sync word (FFT fast-convolution with
+    the time-reversed conjugate, like the reference's fft_filter_ccc) and
+    output both the delayed stream and the correlation. Peak extraction +
+    tagging (phase_est/time_est/corr_est) is data-dependent, so it runs on
+    the host over the correlation output via corr_est_peaks()."""
+
+    def __init__(self, symbols, sps: float = 1.0, threshold: float = 0.9,
+                 name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C), PortSpec(C))
+        self.symbols = np.asarray(symbols, np.complex64)
+        # windowed dot products below compute correlation directly, so the
+        # taps are just the conjugate (the reference time-reverses because
+        # its fft_filter computes convolution)
+        self.taps = np.conj(self.symbols)
+        self.sps = float(sps)
+        self.threshold = float(threshold)
+
+    def init_state(self):
+        return {"tail": jnp.zeros(len(self.taps) - 1, C)}
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        ext = jnp.concatenate([state["tail"], x])
+        n = x.shape[0]
+        taps = jnp.asarray(self.taps)
+        L = taps.shape[0]
+        # windowed dot products: corr[i] = sum_k ext[i+k] * taps[k]
+        idx = jnp.arange(n)[:, None] + jnp.arange(L)[None, :]
+        corr = (ext[idx] * taps[None, :]).sum(-1)
+        return ({"tail": ext[ext.shape[0] - (L - 1):]}, (x, corr))
+
+
+def corr_est_cc(symbols, sps=1.0, threshold=0.9):
+    return CorrEst(symbols, sps, threshold)
+
+
+def corr_est_peaks(corr, symbols, threshold=0.9):
+    """Host-side peak extraction over a correlation array: returns a list
+    of dicts {offset, corr_est, phase_est, amp_est} for local maxima whose
+    |corr|^2 exceeds threshold * (sync-word autocorrelation energy)^2 —
+    the reference's THRESHOLD_ABSOLUTE method. `offset` indexes the LAST
+    sample of the detected sync word (the block's carried (L-1)-tail means
+    corr[i] covers input window [i-L+1, i]); subtract len(symbols)-1 for
+    the start."""
+    corr = np.asarray(corr)
+    e = float(np.sum(np.abs(np.asarray(symbols)) ** 2))
+    mag2 = np.abs(corr) ** 2
+    thresh = threshold * e * e
+    peaks = []
+    for i in range(1, len(corr) - 1):
+        if mag2[i] >= thresh and mag2[i] >= mag2[i - 1] \
+                and mag2[i] > mag2[i + 1]:
+            peaks.append({"offset": i,
+                          "corr_est": float(np.sqrt(mag2[i])),
+                          "phase_est": float(-np.angle(corr[i])),
+                          "amp_est": float(np.sqrt(mag2[i]) / e)})
+    return peaks

@@ -426,3 +426,140 @@ def pfb_clock_sync_ccf(sps, loop_bw, taps, filter_size=32, init_phase=16,
                        max_rate_deviation=1.5, osps=1):
     return PfbClockSync(sps, loop_bw, taps, filter_size, init_phase,
                         max_rate_deviation)
+
+
+# ---------------------------------------------------------------------------
+# MMSE fractional resampler (gr-filter mmse_resampler_cc/ff)
+# ---------------------------------------------------------------------------
+
+class MmseResampler(Block):
+    """mmse_resampler_xx: arbitrary-ratio resampler — mu advances by
+    `resamp_ratio` per output, 8-tap MMSE interpolation at each fractional
+    position (gr-filter/lib/mmse_resampler_cc_impl.cc). Static-rate
+    contract: emits floor(n/ratio) items per chunk with the fractional
+    residue carried."""
+
+    SLACK = 16
+
+    def __init__(self, phase_shift: float, resamp_ratio: float,
+                 dtype=C, name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
+        self.ratio = float(resamp_ratio)
+        self.mu0 = float(phase_shift)
+        frac = Fraction(self.ratio).limit_denominator(1 << 12)
+        self._in_r = Fraction(frac.numerator)
+        self._out_r = Fraction(frac.denominator)
+
+    @property
+    def in_rates(self):
+        return (self._in_r,)
+
+    @property
+    def out_rates(self):
+        return (self._out_r,)
+
+    def init_state(self):
+        return {"tail": jnp.zeros(self.SLACK, self.in_ports[0].dtype),
+                "pos": jnp.float32(self.mu0)}
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        n = x.shape[0]
+        n_out = int(round(n / self.ratio))
+        xp = jnp.concatenate([state["tail"], x])
+
+        def step(pos, _):
+            ii = jnp.floor(pos).astype(jnp.int32)
+            y = mmse_interp(xp, ii, pos - jnp.floor(pos))
+            return pos + self.ratio, y
+
+        pos, y = jax.lax.scan(step, state["pos"], None, length=n_out)
+        return ({"tail": xp[xp.shape[0] - self.SLACK:],
+                 "pos": pos - jnp.float32(n)}, (y,))
+
+
+def mmse_resampler_cc(phase_shift, resamp_ratio):
+    return MmseResampler(phase_shift, resamp_ratio, C)
+
+
+def mmse_resampler_ff(phase_shift, resamp_ratio):
+    return MmseResampler(phase_shift, resamp_ratio, F)
+
+
+# ---------------------------------------------------------------------------
+# MSK timing recovery (gr-digital msk_timing_recovery_cc)
+# ---------------------------------------------------------------------------
+
+class MskTimingRecovery(Block):
+    """msk_timing_recovery_cc: square-law clock recovery for (G)MSK —
+    nonlinearity e(n) = in(n)^2 * conj(in(n-sps))^2, differentiated by the
+    sps/2-delayed copy, driving a 2nd-order loop on the interpolation
+    offset (msk_timing_recovery_cc_impl.cc general_work). One output
+    symbol per sps inputs."""
+
+    SLACK = 32
+
+    def __init__(self, sps: float, gain: float = 0.05, limit: float = 0.1,
+                 name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C),)
+        self.sps = float(sps)
+        self.isps = int(round(sps))
+        self.gain = float(gain)
+        self.gain_omega = self.gain * self.gain * 0.25
+        # NOTE: not named `limit` — the runtime reserves that attribute for
+        # head-style item limiting (core/runtime.py)
+        self.dev_limit = float(limit)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.isps),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def init_state(self):
+        return {"tail": jnp.zeros(self.SLACK, C),
+                "pos": jnp.float32(0.0),
+                "omega": jnp.float32(self.sps),
+                "dly1": jnp.zeros((), C), "dly2": jnp.zeros((), C),
+                "diff1": jnp.zeros((), C)}
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        n = x.shape[0]
+        n_out = n // self.isps
+        xp = jnp.concatenate([state["tail"], x])
+        sps = self.sps
+
+        def interp(pos):
+            ii = jnp.floor(pos).astype(jnp.int32)
+            return mmse_interp(xp, ii, pos - jnp.floor(pos))
+
+        def step(carry, _):
+            pos, omega, dly1, dly2, diff1 = carry
+            cur = interp(pos)
+            half = interp(jnp.maximum(pos - sps / 2, 0.0))
+            sq = cur * cur
+            nlin = sq * jnp.conj(dly2 * dly2)
+            err = jnp.clip(jnp.real(nlin - diff1), -1.0, 1.0)
+            omega = jnp.clip(omega + self.gain_omega * err,
+                             sps - self.dev_limit, sps + self.dev_limit)
+            pos = pos + omega + self.gain * err
+            return (pos, omega, half, dly1, nlin), cur
+
+        carry0 = (state["pos"], state["omega"], state["dly1"],
+                  state["dly2"], state["diff1"])
+        (pos, om, d1, d2, df), y = jax.lax.scan(step, carry0, None,
+                                                length=n_out)
+        return ({"tail": xp[xp.shape[0] - self.SLACK:],
+                 "pos": pos - jnp.float32(n), "omega": om,
+                 "dly1": d1, "dly2": d2, "diff1": df}, (y.astype(C),))
+
+
+def msk_timing_recovery_cc(sps, gain=0.05, limit=0.1):
+    return MskTimingRecovery(sps, gain, limit)

@@ -35,7 +35,12 @@ from .digital_loops import mmse_interp
 TED_GARDNER = "gardner"
 TED_ZERO_CROSSING = "zero_crossing"
 TED_MUELLER_AND_MULLER = "mueller_and_muller"
+TED_MOD_MUELLER_AND_MULLER = "mod_mueller_and_muller"
 TED_EARLY_LATE = "early_late"
+TED_SIGNAL_TIMES_SLOPE_ML = "signal_times_slope_ml"
+TED_SIGNUM_TIMES_SLOPE_ML = "signum_times_slope_ml"
+TED_DANDREA_AND_MENGALI_GEN_MSK = "dandrea_and_mengali_gen_msk"
+TED_MENGALI_AND_DANDREA_GMSK = "mengali_and_dandrea_gmsk"
 
 
 def _slice_qpsk(z):
@@ -83,18 +88,45 @@ class SymbolSync(Block):
                 "pos": jnp.float32(0.0),
                 "avg_period": jnp.float32(self.sps),
                 "prev": jnp.zeros((), C),       # previous symbol sample
-                "prev_d": jnp.zeros((), C)}     # previous decision
+                "prev2": jnp.zeros((), C),      # symbol before that
+                "prev_mid": jnp.zeros((), C),   # previous mid sample
+                "prev_d": jnp.zeros((), C),     # previous decision
+                "prev_d2": jnp.zeros((), C)}
 
-    def _ted(self, curr, mid, prev, d_curr, d_prev):
-        if self.ted_type == TED_GARDNER:
+    def _ted(self, s):
+        """Error expressions per timing_error_detector.cc compute_error_cf.
+        s: dict with curr/mid/prev/prev2/prev_mid/deriv/d_* samples."""
+        t = self.ted_type
+        curr, mid, prev = s["curr"], s["mid"], s["prev"]
+        if t == TED_GARDNER:
             return ((prev - curr) * jnp.conj(mid)).real
-        if self.ted_type == TED_ZERO_CROSSING:
-            return ((d_prev - d_curr) * jnp.conj(mid)).real
-        if self.ted_type == TED_MUELLER_AND_MULLER:
-            return (d_prev * jnp.conj(curr) - d_curr * jnp.conj(prev)).real
-        if self.ted_type == TED_EARLY_LATE:
+        if t == TED_ZERO_CROSSING:
+            return ((s["d_prev"] - s["d_curr"]) * jnp.conj(mid)).real
+        if t == TED_MUELLER_AND_MULLER:
+            return (s["d_prev"] * jnp.conj(curr)
+                    - s["d_curr"] * jnp.conj(prev)).real
+        if t == TED_MOD_MUELLER_AND_MULLER:
+            u = ((curr - s["prev2"]) * jnp.conj(s["d_prev"])
+                 - (s["d_curr"] - s["d_prev2"]) * jnp.conj(prev))
+            return jnp.clip(u.real, -1.0, 1.0)
+        if t == TED_EARLY_LATE:
             # mid here is (late - early)/2 slope approximation
             return (jnp.conj(curr) * mid).real
+        if t == TED_SIGNAL_TIMES_SLOPE_ML:
+            dv = s["deriv"]
+            return (curr.real * dv.real + curr.imag * dv.imag) / 2.0
+        if t == TED_SIGNUM_TIMES_SLOPE_ML:
+            dv = s["deriv"]
+            return (jnp.sign(curr.real) * dv.real
+                    + jnp.sign(curr.imag) * dv.imag) / 2.0
+        if t == TED_DANDREA_AND_MENGALI_GEN_MSK:
+            u = (curr * curr * jnp.conj(prev * prev)
+                 - mid * mid * jnp.conj(s["prev_mid"] * s["prev_mid"]))
+            return jnp.clip(u.real, -3.0, 3.0)
+        if t == TED_MENGALI_AND_DANDREA_GMSK:
+            u = (-(curr * curr * jnp.conj(prev * prev))
+                 + mid * mid * jnp.conj(s["prev_mid"] * s["prev_mid"]))
+            return jnp.clip(u.real, -3.0, 3.0)
         raise ValueError(f"unknown TED {self.ted_type}")
 
     def apply(self, state, inputs, n_in):
@@ -111,7 +143,7 @@ class SymbolSync(Block):
             return mmse_interp(xp, ii, pos - jnp.floor(pos))
 
         def step(carry, _):
-            pos, avg_p, prev, prev_d = carry
+            pos, avg_p, prev, prev2, prev_mid, prev_d, prev_d2 = carry
             curr = interp_at(pos)
             if self.ted_type == TED_EARLY_LATE:
                 early = interp_at(jnp.maximum(pos - 1.0, 0.0))
@@ -119,21 +151,29 @@ class SymbolSync(Block):
                 mid = (late - early) * 0.5
             else:
                 mid = interp_at(jnp.maximum(pos - half, 0.0))
+            deriv = (interp_at(pos + 0.5)
+                     - interp_at(jnp.maximum(pos - 0.5, 0.0)))
             d_curr = self.slicer(curr)
-            e = jnp.clip(self._ted(curr, mid, prev, d_curr, prev_d),
-                         -1.0, 1.0)
+            e = jnp.clip(self._ted({
+                "curr": curr, "mid": mid, "prev": prev, "prev2": prev2,
+                "prev_mid": prev_mid, "deriv": deriv,
+                "d_curr": d_curr, "d_prev": prev_d, "d_prev2": prev_d2,
+            }), -3.0, 3.0)
             avg_p = jnp.clip(avg_p + self.beta * e, pmin, pmax)
             inst_p = jnp.clip(avg_p + self.alpha * e, pmin, pmax)
             pos = pos + inst_p
-            return (pos, avg_p, curr, d_curr), curr
+            return (pos, avg_p, curr, prev, mid, d_curr, prev_d), curr
 
         carry0 = (state["pos"], state["avg_period"], state["prev"],
-                  state["prev_d"])
-        (pos, avg_p, prev, prev_d), y = jax.lax.scan(step, carry0, None,
-                                                     length=n_out)
+                  state["prev2"], state["prev_mid"], state["prev_d"],
+                  state["prev_d2"])
+        (pos, avg_p, prev, prev2, prev_mid, prev_d, prev_d2), y = \
+            jax.lax.scan(step, carry0, None, length=n_out)
         new_tail = xp[xp.shape[0] - self.SLACK:]
         state2 = {"tail": new_tail, "pos": pos - jnp.float32(n),
-                  "avg_period": avg_p, "prev": prev, "prev_d": prev_d}
+                  "avg_period": avg_p, "prev": prev, "prev2": prev2,
+                  "prev_mid": prev_mid, "prev_d": prev_d,
+                  "prev_d2": prev_d2}
         return state2, (y.astype(C),)
 
 
