@@ -102,3 +102,83 @@ class PolarCode:
 
         u, _ = sc(llr.astype(jnp.float32), frozen)
         return u[..., jnp.asarray(self.info_pos)].astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# SC-list decoding (polar_decoder_sc_list.cc)
+# ---------------------------------------------------------------------------
+
+def _encode_np(u):
+    """u [..., nn] -> x (host NumPy butterfly), for partial re-encoding."""
+    u = np.asarray(u, np.int64) & 1
+    nn = u.shape[-1]
+    x = u.copy()
+    s = 1
+    while s < nn:
+        xr = x.reshape(x.shape[:-1] + (nn // (2 * s), 2, s))
+        xr[..., 0, :] ^= xr[..., 1, :]
+        x = xr.reshape(x.shape)
+        s *= 2
+    return x
+
+
+def _leaf_llr(llrs: np.ndarray, u_known: np.ndarray, i: int) -> np.ndarray:
+    """LLR of u_i for every path. llrs [L, nn] channel-side LLRs of this
+    subtree; u_known [L, i] already-decided u bits inside the subtree."""
+    nn = llrs.shape[1]
+    if nn == 1:
+        return llrs[:, 0]
+    half = nn // 2
+    a, b = llrs[:, :half], llrs[:, half:]
+    if i < half:
+        f = np.sign(a) * np.sign(b) * np.minimum(np.abs(a), np.abs(b))
+        return _leaf_llr(f, u_known, i)
+    x1 = _encode_np(u_known[:, :half])
+    g = b + (1 - 2 * x1) * a
+    return _leaf_llr(g, u_known[:, half:], i - half)
+
+
+class PolarCodeList(PolarCode):
+    """(n, k) polar code with successive-cancellation LIST decoding
+    (gr-fec polar_decoder_sc_list analog; Tal & Vardy 2015, LLR-based path
+    metrics). Host-side NumPy, vectorized over the path axis — list
+    decoding's data-dependent path pruning is control flow the host owns;
+    the heavy per-codeword SC stays available on device via decode()."""
+
+    def __init__(self, n: int, k: int, list_size: int = 4,
+                 design_eps: float = 0.5, frozen_positions=None):
+        super().__init__(n, k, design_eps, frozen_positions)
+        self.list_size = int(list_size)
+
+    def decode_list(self, llr):
+        """llr [n] (positive = bit 0) -> info bits [k] from the best path."""
+        llr = np.asarray(llr, np.float64)
+        Lmax = self.list_size
+        paths_u = np.zeros((1, self.n), np.int64)
+        metrics = np.zeros(1, np.float64)
+        ch = np.broadcast_to(llr, (1, self.n)).copy()
+        for i in range(self.n):
+            lam = _leaf_llr(ch, paths_u[:, :i], i)      # [P]
+            if self.frozen_mask[i]:
+                # frozen: u_i = 0; penalize paths whose llr says 1
+                metrics = metrics + np.where(lam < 0, -lam, 0.0)
+                paths_u[:, i] = 0
+            else:
+                P = len(metrics)
+                # fork: u_i = 0 (penalty if lam<0) and u_i = 1 (if lam>0)
+                m0 = metrics + np.where(lam < 0, -lam, 0.0)
+                m1 = metrics + np.where(lam > 0, lam, 0.0)
+                allm = np.concatenate([m0, m1])
+                keep = np.argsort(allm, kind="stable")[:Lmax]
+                new_u = np.concatenate([paths_u, paths_u], axis=0)[keep]
+                new_u[:, i] = (keep >= P).astype(np.int64)
+                paths_u = new_u
+                metrics = allm[keep]
+                ch = np.broadcast_to(llr, (len(metrics), self.n)).copy()
+        best = int(np.argmin(metrics))
+        return paths_u[best][self.info_pos].astype(np.int8)
+
+
+def polar_decoder_sc_list(n, k, list_size=8, design_eps=0.5,
+                          frozen_positions=None):
+    return PolarCodeList(n, k, list_size, design_eps, frozen_positions)
