@@ -217,3 +217,149 @@ class TcpStreamSource(SourceBlock):
 
     def apply(self, state, inputs, n_in):
         return state, (inputs[0],)
+
+
+# ---------------------------------------------------------------------------
+# gr-zeromq pattern parity: PUB/SUB (fan-out), REQ/REP (pull backpressure),
+# and the message variants. Same wire frames; the pattern names map to the
+# reference's twelve block types (gr-zeromq/include/gnuradio/zeromq/).
+# ---------------------------------------------------------------------------
+
+class PubServer(StreamServer):
+    """PUB-side: accepts MANY subscribers, every frame fans out to all
+    (zeromq::pub_sink / pub_msg_sink analog). Late joiners miss earlier
+    frames, like ZMQ PUB/SUB."""
+
+    def __init__(self, bind_addr: str = "127.0.0.1", port: int = 0):
+        super().__init__(bind_addr, port)
+        self._lsock.listen(16)
+        self._conns: list = []
+        self._lsock.settimeout(0.0)  # non-blocking accepts
+
+    def _accept_new(self):
+        while True:
+            try:
+                c, _ = self._lsock.accept()
+            except (BlockingIOError, socket.timeout):
+                return
+            c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._conns.append(c)
+
+    def _broadcast(self, frame: bytes):
+        self._accept_new()
+        dead = []
+        with self._lock:
+            for c in self._conns:
+                try:
+                    c.sendall(frame)
+                except OSError:
+                    dead.append(c)
+            for c in dead:
+                self._conns.remove(c)
+
+    def send_items(self, arr, offset, tags=()):
+        a = np.ascontiguousarray(arr)
+        self._broadcast(_pack_frame(
+            KIND_STREAM, offset, a.tobytes(),
+            a.dtype.itemsize * (a.shape[1] if a.ndim > 1 else 1),
+            a.shape[0], tags))
+
+    def send_message(self, msg):
+        blob = pmt.serialize(msg)
+        self._broadcast(_pack_frame(KIND_MSG, 0, blob, 1, len(blob), ()))
+
+    def wait_for_subscribers(self, n: int, timeout: float = 10.0):
+        import time
+        t0 = time.time()
+        while len(self._conns) < n:
+            self._accept_new()
+            if time.time() - t0 > timeout:
+                raise TimeoutError("subscribers did not connect")
+            time.sleep(0.01)
+
+    def close(self):
+        for c in self._conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._conns = []
+        super().close()
+
+
+SubClient = StreamClient  # SUB side reads frames exactly like PULL
+
+
+class RepServer:
+    """REP-side: serves one item-batch per request — the pull-based
+    backpressure pattern (zeromq::rep_sink analog). Request payload is a
+    u32 item count."""
+
+    def __init__(self, bind_addr: str = "127.0.0.1", port: int = 0):
+        self._srv = StreamServer(bind_addr, port)
+        self.port = self._srv.port
+        self._buf = None
+        self._offset = 0
+        self._tags: list = []
+
+    def feed(self, arr: np.ndarray, tags=()):
+        arr = np.ascontiguousarray(arr)
+        self._buf = arr if self._buf is None else np.concatenate(
+            [self._buf, arr])
+        self._tags.extend(tags)
+
+    def serve_once(self) -> bool:
+        """Block for one request, answer with up to `count` items.
+        Returns False when the peer disconnected."""
+        self._srv._ensure()
+        hdr = _read_exact(self._srv._conn, 4)
+        if hdr is None:
+            return False
+        (count,) = struct.unpack("<I", hdr)
+        n = 0 if self._buf is None else min(count, len(self._buf))
+        chunk = self._buf[:n] if n else np.zeros(0, np.complex64)
+        self._buf = None if self._buf is None else self._buf[n:]
+        tags = [t for t in self._tags if t.offset < self._offset + n]
+        self._tags = [t for t in self._tags
+                      if t.offset >= self._offset + n]
+        self._srv.send_items(chunk.reshape(n, -1) if chunk.ndim > 1
+                             else chunk, self._offset, tags)
+        self._offset += n
+        return True
+
+    def close(self):
+        self._srv.close()
+
+
+class ReqClient:
+    """REQ-side: requests batches of items (zeromq::req_source analog)."""
+
+    def __init__(self, addr: str, port: int, timeout: float = 10.0):
+        self._cli = StreamClient(addr, port, timeout)
+
+    def request_items(self, count: int, dtype):
+        self._cli._sock.sendall(struct.pack("<I", count))
+        return self._cli.recv_items(np.dtype(dtype))
+
+    def close(self):
+        self._cli.close()
+
+
+class MsgPubSink:
+    """pub_msg_sink analog: call post(msg) to fan a PMT out to subscribers."""
+
+    def __init__(self, server: PubServer):
+        self.server = server
+
+    def post(self, msg):
+        self.server.send_message(msg)
+
+
+class MsgSubSource:
+    """sub_msg_source analog: iterate received PMTs."""
+
+    def __init__(self, client: StreamClient):
+        self.client = client
+
+    def recv(self):
+        return self.client.recv_message()
