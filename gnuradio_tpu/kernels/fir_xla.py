@@ -1,46 +1,95 @@
-"""FIR kernels — XLA conv formulation (MXU path).
+"""FIR kernels — banded-Toeplitz matmul formulation (MXU path).
 
 Reference parity: gr::filter::kernel::fir_filter<IN,OUT,TAP>
 (gr-filter/lib/fir_filter.cc:22-182). The reference dispatches VOLK SIMD dot
-products per output item with per-alignment tap copies (:62-80,129-182); on
-TPU the whole filter is ONE convolution that XLA tiles onto the MXU. Complex
-arithmetic is decomposed into real convolutions (TPU conv is real-valued):
+products per output item with per-alignment tap copies (:62-80,129-182).
 
-  * real x, real taps      -> 1 conv
-  * complex x, real taps   -> 1 conv, re/im as a batch of 2
-  * complex x, complex taps-> 1 conv, batch 2 x out-channels 2, recombined
+TPU mapping: a 1-channel lax.conv has no contraction dimension for the MXU
+and runs ~20x below roofline. Instead the filter is expressed as ONE matmul:
+
+    y[m*B + b] = sum_i  F[m, i] * W[i, b]
+
+where F is the signal cut into M overlapping frames of length
+L = (B-1)*decim + T (hop = B*decim) and W is the (L, B) banded tap matrix
+W[i, b] = w[i - b*decim] (w = reversed taps, zero outside [0, T)).  B is the
+MXU lane count (128), scaled up for long taps so the L/(B*decim) FLOP
+overcompute stays <= ~2x.  Frames are built from pure reshapes/slices of
+shifted copies (no gather).  Complex arithmetic is decomposed into real
+matmuls (re/im as a leading batch axis).
 
 Convention: `taps` are in the user's conventional convolution order, i.e.
 y[k] = sum_j taps[j] * x[k*decim - j] with the history (ntaps-1 items)
 already prepended to `xp` by the caller (CarryTail), matching the reference's
 internally-reversed tap storage + history discipline (fir_filter.cc:50-60,
 block.h:82-91).
+
+Precision: HIGHEST forces true-f32 accumulation on the MXU (bf16x3/x6
+passes). The reference accumulates in f32 SIMD (VOLK); default TPU MXU
+precision (~bf16 mantissa) fails the QA SNR bounds, HIGHEST passes.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_DN = lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NCW", "IOW", "NCW"))
+_LANES = 128
 
 
-def _conv1d(x_ncw, w_iow, stride: int):
-    """x: (N, Cin, W), w: (Cin, Cout, T) -> (N, Cout, W_out). Correlation
-    (no flip), valid padding.
+def _frame(xp, M: int, hop: int, L: int):
+    """Cut 1-D xp into M overlapping frames: F[m, :] = xp[m*hop : m*hop+L].
 
-    Precision: HIGHEST forces true-f32 accumulation on the MXU (bf16x3
-    passes). The reference accumulates in f32 SIMD (VOLK); default TPU MXU
-    precision (~bf16 mantissa) fails the QA SNR bounds, HIGHEST passes with
-    ~3x MXU cost — still far above the reference's per-core throughput."""
-    return lax.conv_general_dilated(
-        x_ncw, w_iow,
-        window_strides=(stride,),
-        padding="VALID",
-        dimension_numbers=_DN,
+    Built from ceil(L/hop) shifted reshapes — no gather. xp is zero-padded
+    so every slab slice is in range.
+    """
+    nslabs = -(-L // hop)
+    need = (nslabs - 1) * hop + M * hop
+    xp = jnp.pad(xp, (0, max(0, need - xp.shape[0])))
+    slabs = [
+        lax.dynamic_slice_in_dim(xp, s * hop, M * hop).reshape(M, hop)
+        for s in range(nslabs)
+    ]
+    return jnp.concatenate(slabs, axis=1)[:, :L] if nslabs > 1 else slabs[0][:, :L]
+
+
+def _band_matrix(w, T: int, L: int, B: int, decim: int):
+    """W[i, b] = w[i - b*decim] if 0 <= i - b*decim < T else 0,  shape (L, B)."""
+    if isinstance(w, np.ndarray) or not isinstance(w, jax.core.Tracer):
+        # concrete taps: build on host, becomes an XLA constant
+        wn = np.asarray(w)
+        Wm = np.zeros((L, B), wn.dtype)
+        for b in range(B):
+            Wm[b * decim:b * decim + T, b] = wn
+        return jnp.asarray(Wm)
+    i = jnp.arange(L)[:, None] - jnp.arange(B)[None, :] * decim
+    valid = (i >= 0) & (i < T)
+    return jnp.where(valid, w[jnp.clip(i, 0, T - 1)], 0)
+
+
+def _fir_real(xp_parts, w, decim: int, n_out: int):
+    """Core real matmul FIR.
+
+    xp_parts: (P, n_in + T - 1) float32 — P signal components sharing taps
+    w       : (T,) float32 reversed taps
+    returns : (P, n_out) float32
+    """
+    T = w.shape[0]
+    # scale the output tile so FLOP overcompute L/(B*decim) stays bounded
+    B = _LANES * max(1, -(-T // (_LANES * decim)))
+    M = -(-n_out // B)
+    hop = B * decim
+    L = (B - 1) * decim + T
+    P = xp_parts.shape[0]
+    F = jax.vmap(lambda x: _frame(x, M, hop, L))(xp_parts)  # (P, M, L)
+    W = _band_matrix(w, T, L, B, decim).astype(jnp.float32)
+    Y = lax.dot_general(
+        F.astype(jnp.float32), W,
+        dimension_numbers=(((2,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )
+    )  # (P, M, B)
+    return Y.reshape(P, M * B)[:, :n_out]
 
 
 def fir_apply(xp, taps, decim: int = 1):
@@ -51,42 +100,42 @@ def fir_apply(xp, taps, decim: int = 1):
     out  : (n_in // decim,) — y[k] = sum_j taps[j] * xp[(T-1) + k*decim - j]
     """
     taps = jnp.asarray(taps)
+    T = taps.shape[0]
+    n_out = (xp.shape[0] - (T - 1)) // decim
     w = taps[::-1]  # correlation kernel = reversed conv taps
     x_c = jnp.iscomplexobj(xp)
     t_c = jnp.iscomplexobj(taps)
 
     if not x_c and not t_c:
-        y = _conv1d(xp.astype(jnp.float32)[None, None, :],
-                    w.astype(jnp.float32)[None, None, :], decim)
-        return y[0, 0, :]
+        y = _fir_real(xp.astype(jnp.float32)[None], w.astype(jnp.float32),
+                      decim, n_out)
+        return y[0]
 
     if x_c and not t_c:
-        xs = jnp.stack([xp.real, xp.imag], axis=0)[:, None, :]  # (2,1,W)
-        y = _conv1d(xs.astype(jnp.float32),
-                    w.astype(jnp.float32)[None, None, :], decim)  # (2,1,Wo)
-        return lax.complex(y[0, 0], y[1, 0])
+        xs = jnp.stack([xp.real, xp.imag], axis=0)
+        y = _fir_real(xs.astype(jnp.float32), w.astype(jnp.float32),
+                      decim, n_out)
+        return lax.complex(y[0], y[1])
 
     if x_c and t_c:
-        xs = jnp.stack([xp.real, xp.imag], axis=0)[:, None, :]   # (2,1,W)
-        ws = jnp.stack([w.real, w.imag], axis=0)[None, :, :]      # (1,2,T) IOW
-        y = _conv1d(xs.astype(jnp.float32), ws.astype(jnp.float32), decim)
-        # y[b, c]: b=0 real-x, b=1 imag-x; c=0 real-w, c=1 imag-w
-        yr = y[0, 0] - y[1, 1]
-        yi = y[0, 1] + y[1, 0]
-        return lax.complex(yr, yi)
+        xs = jnp.stack([xp.real, xp.imag], axis=0).astype(jnp.float32)
+        yr_ = _fir_real(xs, w.real.astype(jnp.float32), decim, n_out)
+        yi_ = _fir_real(xs, w.imag.astype(jnp.float32), decim, n_out)
+        # (xr + j xi)(wr + j wi): re = xr*wr - xi*wi, im = xr*wi + xi*wr
+        return lax.complex(yr_[0] - yi_[1], yi_[0] + yr_[1])
 
     # real x, complex taps
-    ws = jnp.stack([w.real, w.imag], axis=0)[None, :, :]
-    y = _conv1d(xp.astype(jnp.float32)[None, None, :], ws.astype(jnp.float32),
-                decim)
-    return lax.complex(y[0, 0], y[0, 1])
+    xs = xp.astype(jnp.float32)[None]
+    yr_ = _fir_real(xs, w.real.astype(jnp.float32), decim, n_out)
+    yi_ = _fir_real(xs, w.imag.astype(jnp.float32), decim, n_out)
+    return lax.complex(yr_[0], yi_[0])
 
 
 def fir_apply_batched(xp, taps, decim: int = 1):
     """Batched FIR over leading axis: xp (B, n+T-1), taps (T,) or (B, T).
 
-    Used by the PFB channelizer (per-arm filters) — arms become conv feature
-    groups so the whole bank is one conv call.
+    Used by the PFB channelizer (per-arm filters) — the whole bank becomes
+    one batched matmul.
     """
     if taps.ndim == 1:
         return jax.vmap(lambda x: fir_apply(x, taps, decim))(xp)
