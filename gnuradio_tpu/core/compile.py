@@ -69,6 +69,12 @@ class CompiledGraph:
 
         self.fed_sources = [b for b in self.order
                             if isinstance(b, SourceBlock) and b.is_fed]
+        # param-fed blocks: mid-graph blocks receiving a host-computed array
+        # each step (e.g. tag-driven gains — multiply_by_tag_value_cc). The
+        # host derives the param from the tag sideband BEFORE the device
+        # step, keeping tag-at-offset semantics exact within a chunk.
+        self.param_fed = [b for b in self.order
+                          if getattr(b, "param_fed", False)]
         self.sinks = [b for b in self.order if isinstance(b, SinkBlock)]
 
         def step(state: dict, fed: dict):
@@ -85,6 +91,9 @@ class CompiledGraph:
                 if isinstance(b, SourceBlock) and b.is_fed:
                     x = dev_decode(fed[b.name], b.out_ports[0])
                     st2, outs = b.apply(st, (x,), self.n_in[b])
+                elif getattr(b, "param_fed", False):
+                    p = dev_decode(fed[b.name], b.param_port)
+                    st2, outs = b.apply(st, ins + (p,), self.n_in[b])
                 else:
                     st2, outs = b.apply(st, ins, self.n_in[b])
                 if isinstance(b, SinkBlock):

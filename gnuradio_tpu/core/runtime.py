@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from .block import SinkBlock, SourceBlock
-from .stream import host_decode
+from .stream import host_decode, host_encode
 from .compile import CompiledGraph
 from .graph import Flowgraph
 from .tags import Tag, TagStream, propagate, TPP_DONT
@@ -42,6 +42,7 @@ class _TagEngine:
         self.streams = {id(e): TagStream() for e in cg.fg.edges}
         self.read = {b: 0 for b in cg.order}      # absolute items consumed
         self.written = {b: 0 for b in cg.order}   # absolute items produced
+        self.window_tags = {}  # block -> tags_in of the current step window
 
     def step(self):
         cg = self.cg
@@ -55,6 +56,7 @@ class _TagEngine:
                 tags_in.extend(s.get_range(r0, r0 + nin))
                 s.prune(r0 + nin)
             tags_in.sort()
+            self.window_tags[b] = tags_in
             if isinstance(b, SinkBlock):
                 b.collect_tags(tags_in)
             elif b.nout:
@@ -166,10 +168,17 @@ class TopBlock:
             anchor_b = cg.order[0]
             n_anchor_step = (cg.n_out[anchor_b][0] if anchor_b.nout
                              else cg.n_in[anchor_b][0])
+            # advance the host metadata plane FIRST: the tag sideband is
+            # host-deterministic, so the window's tags are known before the
+            # device step — required for tag-driven param-fed blocks
+            tag_engine.step()
+            for b in cg.param_fed:
+                p = np.asarray(b.param_chunk(tag_engine.window_tags.get(b, []),
+                                             cg.n_in[b][0]))
+                fed[b.name] = host_encode(p)
             with self.perf.measure(items=n_anchor_step):
                 state, taps = cg.step(state, fed)
                 taps = {k: np.asarray(v) for k, v in taps.items()}
-            tag_engine.step()  # deliver this window's tags before collect
             for sink in cg.sinks:
                 sink.collect(host_decode(taps[sink.name], sink.tap_port))
             for b in cg.all_blocks():
