@@ -112,6 +112,13 @@ class Block:
     # DSP blocks inherit policy-based propagation (tag_policy class attr).
     transform_tags = None
 
+    def reset_host_state(self):
+        """Reset host-plane counters keyed to absolute stream offsets.
+        Called by the runtime when a new tag engine is constructed (offsets
+        restart at 0 each TopBlock.run), so offset-synchronized host state
+        (tag windows, param-chunk cursors) cannot desync across runs.
+        Device state (self.state pytree) is NOT touched."""
+
     # Default rates: sync across all ports.
     @property
     def in_rates(self) -> tuple:

@@ -39,6 +39,8 @@ class _TagEngine:
 
     def __init__(self, cg: CompiledGraph):
         self.cg = cg
+        for b in cg.all_blocks():
+            b.reset_host_state()  # offsets restart at 0 with this engine
         self.streams = {id(e): TagStream() for e in cg.fg.edges}
         self.read = {b: 0 for b in cg.order}      # absolute items consumed
         self.written = {b: 0 for b in cg.order}   # absolute items produced

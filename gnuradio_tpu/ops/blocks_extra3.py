@@ -144,6 +144,10 @@ class Annotator(Block):
         self.received: list[Tag] = []
         self._count = 0
 
+    def reset_host_state(self):
+        self._count = 0
+        self.received = []
+
     def apply(self, state, inputs, n_in):
         return state, (inputs[0],)
 
@@ -277,10 +281,15 @@ class MultiplyByTagValue(Block):
                  dtype=C, name=None):
         super().__init__(name)
         self.tag_key = tag_key
+        self._initial = complex(initial)
         self._cur = complex(initial)
         self.in_ports = (PortSpec(dtype),)
         self.out_ports = (PortSpec(dtype),)
         self._win_start = 0
+
+    def reset_host_state(self):
+        self._win_start = 0
+        self._cur = self._initial
 
     def param_chunk(self, tags_in, n: int) -> np.ndarray:
         g = np.full(n, self._cur, dtype=np.complex64)

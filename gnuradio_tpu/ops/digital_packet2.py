@@ -67,20 +67,38 @@ def glfsr_bits(degree: int, mask: int = 0, seed: int = 1, n: int | None = None
 
 class PnCorrelator(DecimBlock):
     """pn_correlator_cc(degree): correlate against one period (2^d - 1) of
-    the maximal-length GLFSR sequence mapped to ±1. One complex output per
-    period: y = (1/L) Σ x[n] · pn[n]. Reshape + matvec -> single MXU dot."""
+    the maximal-length GLFSR sequence mapped to ±1 (bit b -> 2b-1, so bit 1
+    maps to +1 as in the reference). One complex output per period:
+    y = (1/L) Σ x[n] · pn[n].
+
+    The reference retards the generator one chip per output period (it holds
+    the previous bit at j==0 and only advances for j>0, after initializing
+    through one full period so the held value starts at the LAST bit of the
+    first period — pn_correlator_cc_impl.cc work loop). So output period k
+    correlates against pn cyclically shifted by (1+k): we precompute the
+    (L, L) matrix of all cyclic shifts and gather rows by a carried output
+    counter, turning the sliding correlation into a gathered batched dot."""
 
     def __init__(self, degree: int, mask: int = 0, seed: int = 1, name=None):
         L = (1 << degree) - 1
         super().__init__(L, PortSpec(C), PortSpec(C), name)
         bits = glfsr_bits(degree, mask, seed, L)
-        self.pn = (1.0 - 2.0 * bits.astype(np.float32))  # 0->+1, 1->-1
+        pn = (2.0 * bits.astype(np.float32) - 1.0)  # 0->-1, 1->+1
+        # row k = reference sequence used for the k-th output period
+        self.pn_shifts = np.stack(
+            [np.roll(pn, (1 + k) % L) for k in range(L)])
         self.L = L
+
+    def init_state(self):
+        return jnp.zeros((), jnp.int32)  # output periods produced (mod L)
 
     def work(self, state, x):
         xm = x.reshape(-1, self.L)
-        y = xm @ jnp.asarray(self.pn).astype(jnp.complex64) / self.L
-        return state, y
+        k = xm.shape[0]
+        rows = (state + jnp.arange(k, dtype=jnp.int32)) % self.L
+        pn = jnp.asarray(self.pn_shifts)[rows]          # (k, L) float32
+        y = jnp.sum(xm * pn.astype(jnp.complex64), axis=1) / self.L
+        return (state + k) % self.L, y
 
 
 def pn_correlator_cc(degree, mask=0, seed=1):
@@ -97,14 +115,20 @@ _SYNC_BYTES = np.frombuffer(GRSF_SYNC.to_bytes(8, "big"), dtype=np.uint8)
 
 class SimpleFramer(Block):
     """simple_framer(payload_bytesize): emit 8 sync bytes + 1 seq byte +
-    payload per frame. Static rates: in = P, out = P + 9 per frame."""
+    payload + 1 tail-pad byte (0x55) per frame — GRSF_OVERHEAD = 10
+    (simple_framer_sync.h GRSF_SYNC/PAYLOAD/TAIL_PAD constants; the impl
+    memsets the output to 0x55 before writing sync+seq+payload). Static
+    rates: in = P, out = P + 10 per frame."""
+
+    OVERHEAD = 10  # 8 sync + 1 seqno + 1 tail pad
 
     def __init__(self, payload_bytesize: int, name=None):
         super().__init__(name)
         self.P = int(payload_bytesize)
         self.in_ports = (PortSpec(B),)
         self.out_ports = (PortSpec(B),)
-        self._seq_base = 0  # host-tracked first seqno of each step window
+        # whole frames per step (reference: set_output_multiple(P+OVERHEAD))
+        self.output_multiple = self.P + self.OVERHEAD
 
     @property
     def in_rates(self):
@@ -112,7 +136,7 @@ class SimpleFramer(Block):
 
     @property
     def out_rates(self):
-        return (Fraction(self.P + 9),)
+        return (Fraction(self.P + self.OVERHEAD),)
 
     def init_state(self):
         return jnp.zeros((), jnp.int32)  # running frame counter
@@ -124,7 +148,8 @@ class SimpleFramer(Block):
             jnp.asarray(_SYNC_BYTES.view(np.int8)), (k, 8))
         seq = ((state + jnp.arange(k, dtype=jnp.int32)) & 0xFF).astype(
             jnp.int8)[:, None]
-        y = jnp.concatenate([sync, seq, x], axis=1)
+        pad = jnp.full((k, 1), 0x55, jnp.int8)
+        y = jnp.concatenate([sync, seq, x, pad], axis=1)
         return state + k, (y.reshape(-1),)
 
 
@@ -145,7 +170,7 @@ def simple_correlate(data: np.ndarray, payload_bytesize: int):
         if np.array_equal(data[i:i + 8], _SYNC_BYTES):
             seqs.append(int(data[i + 8]))
             payloads.append(data[i + 9:i + 9 + P].copy())
-            i += 9 + P
+            i += SimpleFramer.OVERHEAD + P  # incl. the 0x55 tail-pad byte
         else:
             i += 1
     return payloads, seqs
@@ -191,8 +216,10 @@ def _bits_to_bytes_msb(bits: np.ndarray) -> np.ndarray:
 class FramerSink1(SinkBlock):
     """framer_sink_1: input = one bit per byte with the access-code flag in
     bit 1 (correlate_access_code_bb convention). On flag: read the 32-bit
-    header (len<<16 | len, sanity-checked), then collect len payload bytes
-    and post them as a PDU."""
+    header (two identical 16-bit copies; each = 4-bit whitener offset in the
+    top bits + 12-bit payload length — framer_sink_1_impl.h header_ok/
+    header_payload), then collect len payload bytes and post them as a PDU.
+    Zero-length packets are posted as empty PDUs like the reference."""
 
     def __init__(self, name=None):
         super().__init__(PortSpec(B), name)
@@ -220,14 +247,16 @@ class FramerSink1(SinkBlock):
                 continue
             hdr = int((bits[h0:h0 + 32].astype(np.int64) <<
                        np.arange(31, -1, -1)).sum())
-            length = hdr & 0xFFFF
-            if (hdr >> 16) != length or length == 0:
-                continue
+            if (hdr >> 16) != (hdr & 0xFFFF):
+                continue  # two header copies disagree
+            length = (hdr >> 16) & 0x0FFF
+            whitener = (hdr >> 28) & 0xF
             p0 = h0 + 32
             if p0 + 8 * length > len(bits):
                 continue
             self.packets.append(_bits_to_bytes_msb(bits[p0:p0 + 8 * length]))
-            self.post("pdus", pmt.make_pdu({}, self.packets[-1]))
+            self.post("pdus", pmt.make_pdu(
+                {"whitener_offset": whitener}, self.packets[-1]))
         return self.packets
 
 

@@ -202,11 +202,40 @@ def tuntap_pdu(ifname="tap0", mtu=1500):
 # channels: channel_model2 / dynamic_channel_model
 # ---------------------------------------------------------------------------
 
+_DELAY_HIST = 32  # fractional-delay window (samples); bounds total SRO drift
+
+
+def _frac_delay(hist, x, delay_path):
+    """Time-varying fractional delay with carried history: y[n] =
+    interp(x, n - delay_path[n]), delay in [0, _DELAY_HIST-2]. The static-
+    shape stand-in for the reference's mmse_resampler timing path: within
+    the bounded window it is a true per-sample resampler (linear interp);
+    accumulated drift beyond the window saturates (documented limitation —
+    a variable-rate output count is impossible under static shapes).
+    Returns (y, new_hist)."""
+    H = _DELAY_HIST
+    n = x.shape[0]
+    xp = jnp.concatenate([hist, x])
+    d = jnp.clip(delay_path, 0.0, float(H - 2))
+    pos = jnp.arange(n, dtype=jnp.float32) + H - d
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    mu = (pos - i0.astype(jnp.float32)).astype(xp.dtype)
+    y = xp[i0] * (1 - mu) + xp[jnp.minimum(i0 + 1, xp.shape[0] - 1)] * mu
+    return y, xp[xp.shape[0] - H:]
+
+
 class ChannelModel2(Block):
     """channel_model2: like channel_model but frequency offset and timing
     epsilon arrive as STREAMS (ports 1/2), so impairments vary per sample
-    (gr-channels/lib/channel_model2_impl.cc). Phase integrates the
-    per-sample frequency-offset stream."""
+    (gr-channels/lib/channel_model2_impl.cc: port 2 feeds an
+    mmse_resampler_cc ratio input; port 1 integrates into a mixer phase).
+    Here the timing stream drives a bounded fractional-delay resampler
+    (delay walk D[n] += eps[n]-1, see _frac_delay) and phase integrates the
+    per-sample frequency-offset stream. The timing path has a fixed group
+    delay of `timing_delay` samples (the center of the delay window), the
+    analog of the reference resampler's interpolator latency."""
+
+    timing_delay = _DELAY_HIST // 2
 
     def __init__(self, noise_voltage=0.0, taps=(1.0,), seed=0, name=None):
         super().__init__(name)
@@ -219,11 +248,18 @@ class ChannelModel2(Block):
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.float32),
                 "tail": jnp.zeros(len(self.taps) - 1, jnp.complex64),
+                "dhist": jnp.zeros(_DELAY_HIST, jnp.complex64),
+                "delay": jnp.full((), _DELAY_HIST / 2.0, jnp.float32),
                 "key": jax.random.PRNGKey(self.seed)}
 
     def apply(self, state, inputs, n_in):
-        x, foff, _eps = inputs
+        x, foff, eps = inputs
         n = x.shape[0]
+        # timing: eps is the per-sample resample ratio (nominally 1.0);
+        # deviation integrates into a wandering fractional delay
+        dpath = state["delay"] + jnp.cumsum(eps - 1.0)
+        x, dhist = _frac_delay(state["dhist"], x, dpath)
+        new_delay = jnp.clip(dpath[-1], 0.0, float(_DELAY_HIST - 2))
         # multipath FIR
         if len(self.taps) > 1:
             xp = jnp.concatenate([state["tail"], x])
@@ -241,7 +277,8 @@ class ChannelModel2(Block):
         if self.nv > 0:
             nr = jax.random.normal(sub, (n, 2), jnp.float32) * self.nv
             y = y + jax.lax.complex(nr[:, 0], nr[:, 1])
-        return ({"phase": new_phase, "tail": tail, "key": key}, (y,))
+        return ({"phase": new_phase, "tail": tail, "dhist": dhist,
+                 "delay": new_delay, "key": key}, (y,))
 
 
 def channel_model2(noise_voltage=0.0, taps=(1.0,), seed=0):
@@ -259,6 +296,8 @@ class DynamicChannelModel(SyncBlock):
                  seed=0, name=None):
         super().__init__(PortSpec(C), PortSpec(C), name)
         self.fs = float(samp_rate)
+        self.sro_std = float(sro_std_dev) / self.fs   # rate dev walk, per sample
+        self.sro_max = float(sro_max_dev) / self.fs
         self.cfo_std = float(cfo_std_dev) / self.fs
         self.cfo_max = float(cfo_max_dev) / self.fs
         self.noise_amp = float(noise_amp)
@@ -267,11 +306,28 @@ class DynamicChannelModel(SyncBlock):
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.float32),
                 "cfo": jnp.zeros((), jnp.float32),
+                "sro": jnp.zeros((), jnp.float32),
+                "dhist": jnp.zeros(_DELAY_HIST, jnp.complex64),
+                "delay": jnp.full((), _DELAY_HIST / 2.0, jnp.float32),
                 "key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, x):
         n = x.shape[0]
-        key, k1, k2 = jax.random.split(state["key"], 3)
+        key, k1, k2, k3 = jax.random.split(state["key"], 4)
+        # SRO random walk (normalized rate deviation, samples/sample),
+        # integrated into a bounded fractional delay (sro_model analog)
+        sro = state["sro"]
+        delay = state["delay"]
+        dhist = state["dhist"]
+        if self.sro_std > 0 or self.sro_max > 0:
+            ssteps = jax.random.normal(k3, (n,), jnp.float32) * self.sro_std
+            sro_path = state["sro"] + jnp.cumsum(ssteps)
+            if self.sro_max > 0:
+                sro_path = jnp.clip(sro_path, -self.sro_max, self.sro_max)
+            dpath = state["delay"] + jnp.cumsum(sro_path)
+            x, dhist = _frac_delay(state["dhist"], x, dpath)
+            sro = sro_path[-1]
+            delay = jnp.clip(dpath[-1], 0.0, float(_DELAY_HIST - 2))
         # CFO random walk, clipped to max deviation (normalized cycles/sample)
         steps = jax.random.normal(k1, (n,), jnp.float32) * self.cfo_std
         cfo_path = jnp.clip(state["cfo"] + jnp.cumsum(steps),
@@ -283,7 +339,8 @@ class DynamicChannelModel(SyncBlock):
             nr = jax.random.normal(k2, (n, 2), jnp.float32) * self.noise_amp
             y = y + jax.lax.complex(nr[:, 0], nr[:, 1])
         return ({"phase": jnp.mod(phase[-1], 2 * jnp.pi),
-                 "cfo": cfo_path[-1], "key": key}, y)
+                 "cfo": cfo_path[-1], "sro": sro, "delay": delay,
+                 "dhist": dhist, "key": key}, y)
 
 
 def dynamic_channel_model(samp_rate, sro_std_dev=0.0, sro_max_dev=0.0,

@@ -233,15 +233,34 @@ def test_filterbank_vcvcf():
 # digital_packet2
 # ---------------------------------------------------------------------------
 
-def test_pn_correlator_peaks_on_aligned_pn():
+def test_pn_correlator_peaks_on_matched_slipping_pn():
+    # The reference retards the PN one chip per output period
+    # (pn_correlator_cc_impl.cc work: generator held at j==0), so period k
+    # correlates against roll(pn, 1+k) with bits mapped 2b-1. Feed exactly
+    # that slipping sequence -> every output is a perfect +1 correlation.
     deg = 5
     L = (1 << deg) - 1
     bits = dp2.glfsr_bits(deg)
-    pn = (1.0 - 2.0 * bits).astype(np.complex64)
-    x = np.tile(pn, 8)
+    pn = (2.0 * bits - 1.0).astype(np.complex64)
+    x = np.concatenate([np.roll(pn, 1 + k) for k in range(8)])
     snk = run_chain(x, dp2.pn_correlator_cc(deg), dtype=C)
     y = snk.data()
     np.testing.assert_allclose(y, 1.0, atol=1e-5)  # perfect correlation
+
+
+def test_pn_correlator_fixed_input_decorrelates():
+    # A non-slipping (fixed-phase) PN input must NOT stay at +1: the
+    # correlator's reference slides one chip per period (m-sequence
+    # autocorrelation off-peak = -1/L).
+    deg = 5
+    L = (1 << deg) - 1
+    bits = dp2.glfsr_bits(deg)
+    pn = (2.0 * bits - 1.0).astype(np.complex64)
+    x = np.tile(np.roll(pn, 1), 4)  # aligned with period 0 only
+    snk = run_chain(x, dp2.pn_correlator_cc(deg), dtype=C)
+    y = snk.data()
+    np.testing.assert_allclose(y[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(y[1:].real, -1.0 / L, atol=1e-5)
 
 
 def test_simple_framer_correlator_roundtrip():

@@ -79,7 +79,11 @@ def test_channel_model2_per_sample_cfo():
     y = snk.data()
     k = np.arange(1, n + 1)
     ref = np.exp(1j * 2 * np.pi * f0 * k)
-    np.testing.assert_allclose(y, ref, atol=1e-3)
+    # the timing path adds a fixed group delay (zeros history fills the
+    # first `timing_delay` outputs); the rotation itself is undelayed
+    d = mf.ChannelModel2.timing_delay
+    np.testing.assert_allclose(y[:d], 0.0, atol=1e-6)
+    np.testing.assert_allclose(y[d:], ref[d:], atol=1e-3)
 
 
 def test_dynamic_channel_model_noise_only():
