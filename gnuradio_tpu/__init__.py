@@ -14,6 +14,7 @@ from . import core
 from .core.block import (Block, SyncBlock, DecimBlock, InterpBlock,
                          SourceBlock, SinkBlock)
 from .core.graph import Flowgraph
+from .core.hier import HierBlock
 from .core.runtime import TopBlock
 from .core.stream import PortSpec, port
 

@@ -33,6 +33,7 @@ class CompiledGraph:
     def __init__(self, fg: Flowgraph, chunk_mult: int | None = None,
                  jit: bool = True, donate_state: bool = True,
                  target_items: int = 16384):
+        fg = fg.flatten()  # expand hier blocks before tracing (zero-cost)
         fg.validate()
         self.fg = fg
         full_order = fg.topological_sort()

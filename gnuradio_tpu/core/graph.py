@@ -99,6 +99,12 @@ class Flowgraph:
         self._blocks = []
         self.msg_edges = []
 
+    # ---- hier flattening (hier_block2_detail.cc flatten_aux analog) ----
+    def flatten(self) -> "Flowgraph":
+        """Recursively expand HierBlocks; returns self if there are none."""
+        from .hier import expand_hier
+        return expand_hier(self)
+
     # ---- queries ----
     @property
     def blocks(self) -> list[Block]:

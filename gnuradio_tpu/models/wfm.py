@@ -22,8 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Flowgraph
+from ..core.hier import HierBlock
 from ..core.runtime import TopBlock
-from ..core.stream import PortSpec
+from ..core.stream import PortSpec, C, F
 from ..ops import firdes
 from ..ops.analog import QuadratureDemod, fm_deemph, quadrature_demod_cf
 from ..ops.blocks import VectorSink, StreamSource, vector_sink_f
@@ -45,6 +46,41 @@ def channel_taps(samp_rate: float, quad_rate: float):
     """Channel-select LPF for the front-end freq-xlating stage."""
     return firdes.low_pass(1.0, samp_rate, quad_rate * 0.4, quad_rate * 0.1,
                            firdes.WIN_HAMMING)
+
+
+class WfmRcv(HierBlock):
+    """wfm_rcv hier block (gr-analog/python/analog/wfm_rcv.py:22-65):
+    quadrature_demod -> decimating audio FIR -> fm_deemph, packaged as a
+    composite block so it composes with the rest of the catalog inside any
+    Flowgraph (flattened to the same fused XLA program at compile)."""
+
+    def __init__(self, quad_rate: float, audio_decimation: int,
+                 max_dev: float = 75_000.0, tau: float = 75e-6, name=None):
+        super().__init__(name or "wfm_rcv",
+                         in_ports=(PortSpec(C),), out_ports=(PortSpec(F),))
+        audio_rate = quad_rate / audio_decimation
+        demod = quadrature_demod_cf(quad_rate / (2 * math.pi * max_dev))
+        audio = fir_filter_fff(audio_decimation, wfm_taps(quad_rate, audio_rate))
+        deemph = fm_deemph(audio_rate, tau)
+        self.connect((self, 0), demod, audio, deemph, (self, 0))
+
+
+class WfmRcvFull(HierBlock):
+    """Full front-end variant: freq_xlating channel selector + WfmRcv nested
+    (exercises recursive hier flattening)."""
+
+    def __init__(self, samp_rate: float, quad_rate: float, audio_rate: float,
+                 center_freq: float = 0.0, max_dev: float = 75_000.0,
+                 tau: float = 75e-6, name=None):
+        super().__init__(name or "wfm_rcv_full",
+                         in_ports=(PortSpec(C),), out_ports=(PortSpec(F),))
+        chan_decim = int(round(samp_rate / quad_rate))
+        audio_decim = int(round(quad_rate / audio_rate))
+        chan = freq_xlating_fir_filter_ccf(
+            chan_decim, channel_taps(samp_rate, quad_rate), center_freq,
+            samp_rate)
+        rcv = WfmRcv(quad_rate, audio_decim, max_dev, tau)
+        self.connect((self, 0), chan, rcv, (self, 0))
 
 
 def wfm_rcv_graph(iq_data, samp_rate=1_000_000.0, quad_rate=250_000.0,

@@ -811,3 +811,90 @@ class MessageDebug(Block):
 
 def message_debug():
     return MessageDebug()
+
+
+# ---------------------------------------------------------------------------
+# GR type-suffix aliases (the reference's public block names: suffix encodes
+# port dtype — b=int8, s=int16, i=int32, f=float32, c=complex64)
+# ---------------------------------------------------------------------------
+
+def _typed(factory, dtype):
+    def make(*args, **kw):
+        return factory(*args, dtype=dtype, **kw)
+    return make
+
+
+def add_ff(nin=2, vlen=1):
+    return add(F, nin, vlen)
+
+
+def add_cc(nin=2, vlen=1):
+    return add(C, nin, vlen)
+
+
+def add_ii(nin=2, vlen=1):
+    return add(I, nin, vlen)
+
+
+def add_ss(nin=2, vlen=1):
+    return add(S, nin, vlen)
+
+
+def sub_ff(nin=2):
+    return sub(F, nin)
+
+
+def sub_cc(nin=2):
+    return sub(C, nin)
+
+
+def multiply_ff(nin=2, vlen=1):
+    return multiply(F, nin, vlen)
+
+
+def multiply_cc(nin=2, vlen=1):
+    return multiply(C, nin, vlen)
+
+
+def divide_ff(nin=2):
+    return divide(F, nin)
+
+
+def divide_cc(nin=2):
+    return divide(C, nin)
+
+
+def add_const_ff(k):
+    return add_const(k, F)
+
+
+def add_const_cc(k):
+    return add_const(k, C)
+
+
+def add_const_ii(k):
+    return add_const(k, I)
+
+
+def add_const_ss(k):
+    return add_const(k, S)
+
+
+def multiply_const_ff(k, vlen=1):
+    return multiply_const(k, F, vlen)
+
+
+def multiply_const_cc(k, vlen=1):
+    return multiply_const(k, C, vlen)
+
+
+def multiply_const_vff(k):
+    import numpy as _np
+    k = _np.asarray(k, _np.float32)
+    return multiply_const(k, F, vlen=len(k))
+
+
+def multiply_const_vcc(k):
+    import numpy as _np
+    k = _np.asarray(k, _np.complex64)
+    return multiply_const(k, C, vlen=len(k))
