@@ -108,9 +108,14 @@ class Block:
         """Per-step host hook for message-only blocks (strobe-style)."""
 
     # ---- stream tag hooks (see core.tags) ----
-    # Blocks creating/consuming tags data-dependently override this; pure
-    # DSP blocks inherit policy-based propagation (tag_policy class attr).
+    # Blocks creating/consuming tags data-dependently override one of these;
+    # pure DSP blocks inherit policy-based propagation (tag_policy class attr).
+    # transform_tags(tags_in, in_win, out_win) — single-in/single-out hook.
+    # transform_tags_multi(tags_by_port, in_wins, out_wins) -> [tags per out
+    # port] — multi-port hook with per-port windows (block_executor.cc
+    # per-port semantics).
     transform_tags = None
+    transform_tags_multi = None
 
     def reset_host_state(self):
         """Reset host-plane counters keyed to absolute stream offsets.

@@ -35,48 +35,87 @@ from .tags import Tag, TagStream, propagate, TPP_DONT
 class _TagEngine:
     """Host sideband: advances per-edge tag streams one step at a time with
     the exact rational rate algebra the compiler solved (the block_executor
-    propagate_tags analog — see core.tags module docstring)."""
+    propagate_tags analog, block_executor.cc:86-214 — including its per-port
+    semantics: each input PORT has its own read counter and window, each
+    output port its own write counter; ONE_TO_ONE maps input port p to
+    output port p only, ALL_TO_ALL fans every input tag to every output,
+    offsets scaled by the exact out_rate[q]/in_rate[p] Fraction)."""
 
     def __init__(self, cg: CompiledGraph):
         self.cg = cg
         for b in cg.all_blocks():
             b.reset_host_state()  # offsets restart at 0 with this engine
         self.streams = {id(e): TagStream() for e in cg.fg.edges}
-        self.read = {b: 0 for b in cg.order}      # absolute items consumed
-        self.written = {b: 0 for b in cg.order}   # absolute items produced
-        self.window_tags = {}  # block -> tags_in of the current step window
+        # per-PORT absolute item counters (nitems_read/written analogs,
+        # block.h:352-357 — the reference keys them by port too)
+        self.read = {b: [0] * b.nin for b in cg.order}
+        self.written = {b: [0] * b.nout for b in cg.order}
+        self.window_tags = {}  # block -> pooled tags_in of the current window
+
+    def _policy_propagate(self, b, tags_by_port):
+        """Default per-port propagation (no transform override)."""
+        out = [[] for _ in range(b.nout)]
+        if b.tag_policy == TPP_DONT or not b.nin:
+            return out
+        if b.tag_policy == "one_to_one":
+            # input port p -> output port p (block_executor.cc TPP_ONE_TO_ONE;
+            # the reference errors when nin < nout — extra outputs here
+            # simply receive no tags, extra inputs are dropped)
+            for q in range(min(b.nin, b.nout)):
+                rr = b.out_rates[q] / b.in_rates[q]
+                out[q] = propagate(tags_by_port[q], b.tag_policy, rr)
+            return out
+        # ALL_TO_ALL: every input tag to every output port, scaled per pair
+        for q in range(b.nout):
+            acc = []
+            for p in range(b.nin):
+                rr = b.out_rates[q] / b.in_rates[p]
+                acc.extend(propagate(tags_by_port[p], b.tag_policy, rr))
+            out[q] = sorted(acc)
+        return out
 
     def step(self):
         cg = self.cg
         for b in cg.order:
-            nin = cg.n_in[b][0] if b.nin else 0
-            nout = cg.n_out[b][0] if b.nout else 0
-            r0, w0 = self.read[b], self.written[b]
-            tags_in = []
+            nin, nout = cg.n_in[b], cg.n_out[b]
+            r, w = self.read[b], self.written[b]
+            tags_by_port = [[] for _ in range(b.nin)]
             for e in cg.fg.in_edges(b):
+                p = e.dst.port
                 s = self.streams[id(e)]
-                tags_in.extend(s.get_range(r0, r0 + nin))
-                s.prune(r0 + nin)
-            tags_in.sort()
-            self.window_tags[b] = tags_in
+                tags_by_port[p].extend(s.get_range(r[p], r[p] + nin[p]))
+                s.prune(r[p] + nin[p])
+            for ts in tags_by_port:
+                ts.sort()
+            all_in = sorted(t for ts in tags_by_port for t in ts)
+            self.window_tags[b] = all_in
             if isinstance(b, SinkBlock):
-                b.collect_tags(tags_in)
+                b.collect_tags(all_in)
             elif b.nout:
                 if isinstance(b, SourceBlock):
                     src_tags = getattr(b, "stream_tags", None) or []
-                    out_tags = [t for t in src_tags
-                                if w0 <= t.offset < w0 + nout]
+                    out_by_port = [[t for t in src_tags
+                                    if w[0] <= t.offset < w[0] + nout[0]]]
+                elif getattr(b, "transform_tags_multi", None) is not None:
+                    in_wins = [(r[p], r[p] + nin[p]) for p in range(b.nin)]
+                    out_wins = [(w[q], w[q] + nout[q]) for q in range(b.nout)]
+                    out_by_port = b.transform_tags_multi(
+                        tags_by_port, in_wins, out_wins)
                 elif b.transform_tags is not None:
-                    out_tags = b.transform_tags(
-                        tags_in, (r0, r0 + nin), (w0, w0 + nout))
+                    # legacy single-window hook (single-in/single-out blocks)
+                    out = b.transform_tags(
+                        all_in,
+                        (r[0], r[0] + nin[0]) if b.nin else (0, 0),
+                        (w[0], w[0] + nout[0]))
+                    out_by_port = [list(out) for _ in range(b.nout)]
                 else:
-                    rrate = ((b.out_rates[0] / b.in_rates[0])
-                             if b.nin else Fraction(1))
-                    out_tags = propagate(tags_in, b.tag_policy, rrate)
+                    out_by_port = self._policy_propagate(b, tags_by_port)
                 for e in cg.fg.out_edges(b):
-                    self.streams[id(e)].extend(out_tags)
-            self.read[b] = r0 + nin
-            self.written[b] = w0 + nout
+                    self.streams[id(e)].extend(out_by_port[e.src.port])
+            for p in range(b.nin):
+                r[p] += nin[p]
+            for q in range(b.nout):
+                w[q] += nout[q]
 
 
 def _dispatch_messages(cg: CompiledGraph, max_rounds: int = 100):

@@ -708,6 +708,27 @@ def tag_gate(dtype=C, vlen=1):
     return TagGate(dtype, vlen)
 
 
+class TagShare(Block):
+    """tag_share: output stream = input 0's data, carrying the union of
+    tags from input 0 AND input 1 (gr-blocks/lib/tag_share_impl.cc — an
+    io_signature(2,2) sync block whose work copies port 0; the scheduler's
+    ALL_TO_ALL propagation does the sharing). Here the per-port ALL_TO_ALL
+    engine gives exactly that: both ports' tags land on the output at
+    unscaled offsets (all rates 1)."""
+
+    def __init__(self, dtype_io=C, dtype_share=C, vlen=1, name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(dtype_io, vlen), PortSpec(dtype_share, vlen))
+        self.out_ports = (PortSpec(dtype_io, vlen),)
+
+    def apply(self, state, inputs, n_in):
+        return state, (inputs[0],)
+
+
+def tag_share(dtype_io=C, dtype_share=C, vlen=1):
+    return TagShare(dtype_io, dtype_share, vlen)
+
+
 class TagDebug(SinkBlock):
     """Collect (and optionally print) tags (gr::blocks::tag_debug)."""
 
