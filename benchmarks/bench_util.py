@@ -1,0 +1,95 @@
+"""Shared benchmark utilities: chip roofline model + axon-safe timing.
+
+Roofline numbers for the attached chip (TPU v5 lite / v5e), two sources:
+  * datasheet: 197 TFLOPS bf16 / ~98 TFLOPS fp32-equivalent MXU, 819 GB/s HBM
+  * measured on THIS chip through the axon tunnel (benchmarks run 2026-08):
+      - 4096^3 f32 matmul (HIGHEST precision): 93.4 TFLOPS
+      - 1 GiB/iter elementwise copy chain:     ~266 GB/s effective
+The measured numbers are the honest per-dispatch ceilings for this
+deployment (tunnel sync + dispatch overheads included) and are what MFU /
+roofline percentages below are computed against; datasheet values are also
+reported for reference.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+CHIP = {
+    "kind": "TPU v5 lite (v5e)",
+    "peak_f32_matmul_tflops_measured": 93.4,
+    "peak_bf16_matmul_tflops_datasheet": 197.0,
+    "hbm_gbps_measured": 266.0,
+    "hbm_gbps_datasheet": 819.0,
+}
+
+
+def setup_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def sync(x):
+    """Host-fetch a small slice — the only reliable barrier on axon
+    (block_until_ready may return early; 0-d fetches unimplemented)."""
+    import jax
+    leaves = jax.tree_util.tree_leaves(x)
+    a = leaves[-1]
+    if a.ndim == 0:
+        a = a.reshape(1)
+    flat = a.reshape(-1)
+    try:
+        np.asarray(flat[-8:])
+    except Exception:
+        np.asarray(flat[-1:])
+
+
+def time_fn(fn, *args, iters: int = 20, warmup: int = 2):
+    """Median-of-runs timing of a jitted fn; returns seconds/iter."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_fn_carry(fn, state, x, iters: int = 20, warmup: int = 2):
+    """Time a step fn with carried state: fn(state, x) -> (state, y)."""
+    for _ in range(warmup):
+        state, y = fn(state, x)
+    sync(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, y = fn(state, x)
+    sync(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def roofline_report(name, msps, flops_per_sample, bytes_per_sample):
+    """Compute MFU/bandwidth fractions against the measured chip ceilings."""
+    gflops = msps * 1e6 * flops_per_sample / 1e9
+    gbps = msps * 1e6 * bytes_per_sample / 1e9
+    mfu = gflops / (CHIP["peak_f32_matmul_tflops_measured"] * 1e3)
+    bwu = gbps / CHIP["hbm_gbps_measured"]
+    bound = "hbm" if bwu > mfu else "mxu"
+    return {
+        "name": name,
+        "msps": round(msps, 2),
+        "useful_gflops": round(gflops, 2),
+        "hbm_gbps": round(gbps, 2),
+        "mfu_pct": round(100 * mfu, 3),
+        "hbm_pct": round(100 * bwu, 2),
+        "bound": bound,
+    }
