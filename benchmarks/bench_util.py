@@ -37,19 +37,29 @@ def setup_cache():
         pass
 
 
+_SYNC_FNS = {}
+
+
 def sync(x):
-    """Host-fetch a small slice — the only reliable barrier on axon
-    (block_until_ready may return early; 0-d fetches unimplemented)."""
+    """Host-fetch a small real slice — the only reliable barrier on axon
+    (block_until_ready may return early; 0-d fetches, complex transfers,
+    and EAGER ops like slicing are all unimplemented there, so the fetch
+    value is produced by a tiny jitted program)."""
     import jax
+    import jax.numpy as jnp
     leaves = jax.tree_util.tree_leaves(x)
     a = leaves[-1]
-    if a.ndim == 0:
-        a = a.reshape(1)
-    flat = a.reshape(-1)
-    try:
-        np.asarray(flat[-8:])
-    except Exception:
-        np.asarray(flat[-1:])
+    key = (a.shape, str(a.dtype))
+    fn = _SYNC_FNS.get(key)
+    if fn is None:
+        def tail8(v):
+            flat = jnp.ravel(v)
+            flat = jnp.concatenate([jnp.zeros(8, flat.dtype), flat])
+            t = flat[flat.shape[0] - 8:]
+            return jnp.real(t).astype(jnp.float32)
+        fn = jax.jit(tail8)
+        _SYNC_FNS[key] = fn
+    np.asarray(fn(a))
 
 
 def time_fn(fn, *args, iters: int = 20, warmup: int = 2):

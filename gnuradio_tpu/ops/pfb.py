@@ -48,30 +48,64 @@ def _pad_arms(taps, M):
 
 
 class PfbChannelizer(Block):
-    """Maximally-decimated DFT analysis filterbank: one complex stream in,
-    M channel streams out, each at fs/M, channel c centered at +c*fs/M
-    (wrapping; c > M/2 are negative frequencies) — matching
-    pfb_channelizer_ccf with the pfb.py stream_to_streams commutator
-    (gr-filter/python/filter/pfb.py) at oversample_rate=1.
+    """DFT analysis filterbank: one complex stream in, M channel streams
+    out, channel c centered at +c*fs/M (wrapping; c > M/2 are negative
+    frequencies) — matching pfb_channelizer_ccf with the pfb.py
+    stream_to_streams commutator (gr-filter/python/filter/pfb.py).
 
-    y_c[t] = sum_n h[n] x[tM - n] e^{+j 2 pi c n / M}
-           = M * IFFT_m( sum_l h[m+lM] x[tM - m - lM] )
+    Maximally decimated (oversample_rate = 1):
+      y_c[t] = sum_n h[n] x[tM - n] e^{+j 2 pi c n / M}
+             = M * IFFT_m( sum_l h[m+lM] x[tM - m - lM] )
     computed as: deinterleave -> (M, L-1+T) arm inputs -> batched conv ->
-    (M, T) -> FFT along arms -> per-channel streams.
+    (M, T) -> IFFT along arms -> per-channel streams.
+
+    Oversampled (oversample_rate = M/R for integer hop R, the reference's
+    "N/i for i in [1, N]" constraint, pfb_channelizer_ccf_impl.cc:44-56):
+    the commutator advances R < M inputs per output vector:
+      y_c[t] = sum_n h[n] x[tR - n] e^{+j 2 pi c n / M}.
+    Decompose t = s*O + p with O = lcm(M, R)/R outputs per period and
+    K = O*R/M input M-blocks per period. With arm signals
+    u_m[k] = x[kM - m] and q' = (m - p*R) mod M, adv = (q' - (m - p*R))/M:
+      v_m[sO + p] = (arms[m] conv u_{q'})[sK + adv]
+    i.e. the SAME per-arm decimated sequences, filtered under a per-phase
+    arm permutation with a whole-block advance — the reference's rotating
+    d_idxlut realized as a static gather. O*M (tap-arm, signal-row) pairs
+    become one batched MXU conv; phases interleave back as t = s*O + p.
     """
 
-    def __init__(self, nchans: int, taps, name=None):
+    def __init__(self, nchans: int, taps, oversample_rate: float = 1.0,
+                 name=None):
         super().__init__(name)
         self.M = int(nchans)
+        R = self.M / float(oversample_rate)
+        if abs(R - round(R)) > 1e-5:
+            raise ValueError(
+                "pfb_channelizer: oversample rate must be N/i for i in "
+                "[1, N] (pfb_channelizer_ccf_impl.cc:44-56)")
+        self.R = int(round(R))
+        self.osr = float(oversample_rate)
+        # outputs per repeating phase period: smallest O with O*R % M == 0
+        g = math.gcd(self.M, self.R)
+        self.O = self.M // g
+        self.K = self.O * self.R // self.M  # input M-blocks per period
         self.arms = _pad_arms(np.real(taps).astype(np.float32), self.M)
         self.L = self.arms.shape[1]
         self.in_ports = (PortSpec(C),)
         self.out_ports = tuple(PortSpec(C) for _ in range(self.M))
         self.ntaps = len(np.asarray(taps))
+        self.output_multiple = self.O
+        if self.R != self.M:
+            # precompute the (O*M,) row permutation / advance / select maps
+            p = np.repeat(np.arange(self.O), self.M)
+            m = np.tile(np.arange(self.M), self.O)
+            q = m - p * self.R
+            self._rows = np.mod(q, self.M)            # signal row per pair
+            self._adv = (self._rows - q) // self.M    # whole-block advance
+            self._arm_ix = m
 
     @property
     def in_rates(self):
-        return (Fraction(self.M),)
+        return (Fraction(self.R),)
 
     @property
     def out_rates(self):
@@ -81,27 +115,58 @@ class PfbChannelizer(Block):
         # history: L*M - 1 input samples (covers arm depth across all arms)
         return jnp.zeros((self.L * self.M - 1,), C)
 
+    def _arm_signals(self, xp, nout_per_row: int):
+        """(M, L-1+nout_per_row) strided arm rows: u_m[k] = x[kM - m]."""
+        M, L = self.M, self.L
+        return jnp.stack(
+            [xp[M - 1 - m: M - 1 - m + (L - 1 + nout_per_row) * M: M]
+             for m in range(M)], axis=0)
+
     def apply(self, state, inputs, n_in):
         x = inputs[0]
         M, L = self.M, self.L
-        T = x.shape[0] // M
-        xp = jnp.concatenate([state, x], axis=0)  # len = LM-1 + TM
+        xp = jnp.concatenate([state, x], axis=0)  # len = LM-1 + n
         tail = xp[xp.shape[0] - (L * M - 1):]
-        # arm m input sequence u_m[k] = x[kM - m], k = -(L-1) .. T-1
-        # xp index of u_m[k] = kM - m + LM - 1  ->  start M-1-m, stride M
-        # Build (M, L-1+T) by reversing then reshaping:
-        # xp[M-1-m + jM] for j = 0..L-1+T-1
-        U = jnp.stack([xp[M - 1 - m: M - 1 - m + (L - 1 + T) * M: M]
-                       for m in range(M)], axis=0)
-        V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
-        Y = (jnp.fft.ifft(V, axis=0) * M).astype(C)          # (M, T) channels
-        return tail, tuple(Y[c] for c in range(M))
+        if self.R == self.M:
+            T = x.shape[0] // M
+            U = self._arm_signals(xp, T)
+            V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
+            Y = (jnp.fft.ifft(V, axis=0) * M).astype(C)
+            return tail, tuple(Y[c] for c in range(M))
+        # oversampled path
+        Tb = x.shape[0] // M               # input M-blocks this step
+        Ts = Tb // self.K                  # phase periods this step
+        Tout = Ts * self.O                 # outputs per channel
+        # rows long enough for Tb+1 conv outputs; the one extra sample for
+        # row 0 doesn't exist (future) — pad a zero; it is provably never
+        # selected (adv = K requires row >= R >= 1, see class docstring)
+        xpz = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
+        U = self._arm_signals(xpz, Tb + 1)                # (M, L+Tb)
+        S = U[jnp.asarray(self._rows)]                    # (O*M, L+Tb)
+        Tp = jnp.asarray(self.arms)[jnp.asarray(self._arm_ix)]
+        V = fir_apply_batched(S, Tp, 1)                   # (O*M, Tb+1)
+        V = V.reshape(self.O, M, Tb + 1)
+        # select conv index s*K + adv for each (p, m), s = 0..Ts-1
+        sel = (np.arange(Ts)[None, None, :] * self.K +
+               self._adv.reshape(self.O, M)[:, :, None])  # (O, M, Ts)
+        Vt = jnp.take_along_axis(V, jnp.asarray(sel), axis=2)  # (O, M, Ts)
+        Y = (jnp.fft.ifft(Vt, axis=1) * M).astype(C)      # (O, M, Ts)
+        # down-mix residue: y_c[t] = e^{-j2pi c tR/M} * (analysis output);
+        # for R = M this is 1, for R < M it is the per-phase rotation
+        # e^{-j2pi c pR/M} (the reference's idxlut "FFT shift on every
+        # other turn", pfb_channelizer_ccf_impl.cc:69-77, in closed form)
+        p_ix = np.arange(self.O)[:, None]
+        c_ix = np.arange(M)[None, :]
+        rot = np.exp(-2j * np.pi * c_ix * p_ix * self.R / M
+                     ).astype(np.complex64)               # (O, M)
+        Y = Y * jnp.asarray(rot)[:, :, None]
+        # interleave phases: channel c stream index t = s*O + p
+        Yc = jnp.transpose(Y, (1, 2, 0)).reshape(M, Tout)
+        return tail, tuple(Yc[c] for c in range(M))
 
 
 def pfb_channelizer_ccf(nchans, taps, oversample_rate=1.0):
-    if float(oversample_rate) != 1.0:
-        raise NotImplementedError("oversample_rate != 1 not yet supported")
-    return PfbChannelizer(nchans, taps)
+    return PfbChannelizer(nchans, taps, oversample_rate)
 
 
 class PfbSynthesizer(Block):

@@ -32,6 +32,12 @@ from ..core.block import Block
 from ..core.stream import PortSpec, C, F
 from .digital_loops import mmse_interp
 
+# interpolating resampler types (interpolating_resampler_type.h:19-22;
+# impls gr-digital/lib/interpolating_resampler.cc)
+IR_MMSE_8TAP = "mmse_8tap"
+IR_PFB_NO_MF = "pfb_no_mf"
+IR_PFB_MF = "pfb_mf"
+
 TED_GARDNER = "gardner"
 TED_ZERO_CROSSING = "zero_crossing"
 TED_MUELLER_AND_MULLER = "mueller_and_muller"
@@ -59,7 +65,8 @@ class SymbolSync(Block):
     def __init__(self, sps: float, loop_bw: float, ted_type: str = TED_GARDNER,
                  damping: float = 1.0, ted_gain: float = 1.0,
                  max_deviation: float = 1.5, constellation_slicer=None,
-                 name=None):
+                 interp_type: str = IR_MMSE_8TAP, nfilts: int = 32,
+                 mf_taps=None, name=None):
         super().__init__(name)
         self.in_ports = (PortSpec(C),)
         self.out_ports = (PortSpec(C),)
@@ -74,6 +81,73 @@ class SymbolSync(Block):
         self.beta = (4.0 * w * w / denom) / ted_gain
         self.max_dev = float(max_deviation)
         self.slicer = constellation_slicer or _slice_qpsk
+        self.interp_type = interp_type
+        self._build_interp(interp_type, nfilts, mf_taps)
+
+    def _build_interp(self, interp_type, nfilts, mf_taps):
+        """Precompute the (arms+1, taps) bank for the selected resampler.
+        Bank row a interpolates at mu = a/arms between window samples
+        `lead-1` and `lead` (interp_resampler_* in interpolating_resampler.cc:
+        MMSE uses the 8-tap table; PFB_NO_MF a 2^ceil(log2(nfilts-1))-arm
+        quantization of the same fractional-delay design; PFB_MF the
+        polyphase split of the matched filter so the interpolator IS the
+        RRC filter, with the last row = arm 0 advanced one sample)."""
+        from .misc_fills import design_mmse_interp_taps
+        if interp_type == IR_MMSE_8TAP:
+            self._bank = design_mmse_interp_taps(8, 128)  # (129, 8)
+        elif interp_type == IR_PFB_NO_MF:
+            nf = 1 << (int(math.log2(max(2, nfilts) - 1)) + 1)
+            self._bank = design_mmse_interp_taps(8, nf)   # (nf+1, 8)
+        elif interp_type == IR_PFB_MF:
+            if mf_taps is None:
+                raise ValueError("IR_PFB_MF requires mf_taps (the matched "
+                                 "filter prototype, e.g. RRC at sps)")
+            t = np.asarray(mf_taps, np.float64)
+            nf = int(nfilts)
+            if len(t) < nf:
+                raise ValueError("mf_taps must be >= nfilts long "
+                                 "(interpolating_resampler.cc pfb_mf ctor)")
+            tpf = -(-len(t) // nf)
+            padded = np.zeros(nf * tpf)
+            padded[: len(t)] = t
+            arms = padded.reshape(tpf, nf).T   # (nf, tpf): arm a = t[a::nf]
+            # rows stored REVERSED for forward-window dots: row a dotted
+            # with xp[base .. base+tpf-1] = MF output at base+tpf-1 + a/nf
+            arows = arms[:, ::-1]
+            # row nf = arm 0 advanced one whole input sample, so mu -> 1.0
+            # rounds up without arm-wrap logic (the reference's nfilts+1
+            # rows, interpolating_resampler.cc pfb_mf ctor tail)
+            adv = np.zeros(tpf)
+            adv[1:] = arows[0][:-1]
+            # taps used as given (reference does not rescale): pass the
+            # nfilts-times-oversampled prototype with gain nfilts, e.g.
+            # firdes.root_raised_cosine(nfilts, nfilts*sps, 1, beta,
+            # 11*sps*nfilts) — the pfb_clock_sync convention
+            bank = np.vstack([arows, adv[None]])
+            self._bank = bank.astype(np.float32)
+        else:
+            raise ValueError(f"unknown interpolating resampler {interp_type}")
+        self._nsteps = self._bank.shape[0] - 1
+        self._ntaps_i = self._bank.shape[1]
+        # input tail must cover the interpolator window + loop lookahead
+        self.SLACK = max(32, self._ntaps_i + self.isps + 8)
+
+    def _interp_at_fn(self, xp):
+        """Return interp(pos) -> bank-row dot at the quantized fraction.
+        Result is the (matched-)filtered signal at pos + const window
+        delay — a fixed shift the acquisition loop absorbs, exactly like
+        the reference's d_interps' group delays."""
+        bank = jnp.asarray(self._bank)
+        nsteps = self._nsteps
+        W = self._ntaps_i
+
+        def interp(pos):
+            ii = jnp.floor(pos).astype(jnp.int32)
+            mu = pos - jnp.floor(pos)
+            a = jnp.clip(jnp.round(mu * nsteps).astype(jnp.int32), 0, nsteps)
+            window = jax.lax.dynamic_slice(xp, (ii,), (W,))
+            return jnp.sum(window * bank[a])
+        return interp
 
     @property
     def in_rates(self):
@@ -138,9 +212,7 @@ class SymbolSync(Block):
         pmax = jnp.float32(self.sps * (1 + self.max_dev / self.sps))
         half = jnp.float32(self.sps / 2.0)
 
-        def interp_at(pos):
-            ii = jnp.floor(pos).astype(jnp.int32)
-            return mmse_interp(xp, ii, pos - jnp.floor(pos))
+        interp_at = self._interp_at_fn(xp)
 
         def step(carry, _):
             pos, avg_p, prev, prev2, prev_mid, prev_d, prev_d2 = carry
@@ -179,6 +251,8 @@ class SymbolSync(Block):
 
 def symbol_sync_cc(sps, loop_bw, ted_type=TED_GARDNER, damping=1.0,
                    ted_gain=1.0, max_deviation=1.5,
-                   constellation_slicer=None):
+                   constellation_slicer=None, interp_type=IR_MMSE_8TAP,
+                   nfilts=32, mf_taps=None):
     return SymbolSync(sps, loop_bw, ted_type, damping, ted_gain,
-                      max_deviation, constellation_slicer)
+                      max_deviation, constellation_slicer, interp_type,
+                      nfilts, mf_taps)

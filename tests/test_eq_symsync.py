@@ -139,3 +139,60 @@ def test_symbol_sync_period_converges(rng):
     tb.run()
     avg_p = float(np.asarray(tb.state[sync.name]["avg_period"]))
     assert abs(avg_p - sps * 1.001) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# interpolating resampler selection (interpolating_resampler.cc: MMSE /
+# PFB no-MF / PFB matched-filter banks)
+# ---------------------------------------------------------------------------
+
+def test_symbol_sync_pfb_no_mf_matches_mmse(rng):
+    sps = 4
+    nsym = 2500
+    syms, sig, taps = _rrc_shaped_qpsk(rng, nsym, sps,
+                                       offset_samples=1.3, sro=1.0004)
+    mf = np.convolve(sig, taps, mode="full").astype(np.complex64)
+
+    outs = {}
+    for it in (ss.IR_MMSE_8TAP, ss.IR_PFB_NO_MF):
+        src = blk.vector_source(mf)
+        sync = ss.symbol_sync_cc(sps, 0.05, ss.TED_GARDNER, interp_type=it,
+                                 nfilts=128)
+        snk = blk.vector_sink_c()
+        run_graph(src, sync, snk, target_items=4096)
+        outs[it] = snk.data()
+    a, b = outs[ss.IR_MMSE_8TAP], outs[ss.IR_PFB_NO_MF]
+    k = min(len(a), len(b))
+    # identical design at the same 128-step quantization -> near-identical
+    np.testing.assert_allclose(a[200:k], b[200:k], atol=0.05)
+
+
+def test_symbol_sync_pfb_mf_locks_without_external_mf(rng):
+    """IR_PFB_MF: the interpolator IS the matched filter — feed the raw
+    RRC-shaped signal (no external MF) and expect clean symbols."""
+    sps = 4
+    nsym = 3000
+    syms, sig, taps = _rrc_shaped_qpsk(rng, nsym, sps,
+                                       offset_samples=1.7, sro=1.0005)
+    nfilts = 32
+    # nfilts-times-oversampled RRC prototype (pfb_clock_sync convention)
+    mf_proto = root_raised_cosine(nfilts, nfilts * sps, 1.0, 0.35,
+                                  11 * sps * nfilts)
+    src = blk.vector_source(sig)  # NO external matched filter
+    sync = ss.symbol_sync_cc(sps, 0.05, ss.TED_GARDNER,
+                             interp_type=ss.IR_PFB_MF, nfilts=nfilts,
+                             mf_taps=mf_proto)
+    snk = blk.vector_sink_c()
+    run_graph(src, sync, snk, target_items=4096)
+    out = snk.data()
+    tail = out[1500:2800]
+    tail = tail / np.sqrt(np.mean(np.abs(tail) ** 2))
+    hard = np.sign(tail.real) + 1j * np.sign(tail.imag)
+    txh = np.sign(syms.real) + 1j * np.sign(syms.imag)
+    best_err = 1.0
+    for d in range(1480, 1520):
+        ref = txh[d:d + len(hard)]
+        if len(ref) < len(hard):
+            break
+        best_err = min(best_err, np.mean(hard != ref))
+    assert best_err < 0.02, f"symbol error rate {best_err} with PFB-MF"

@@ -183,3 +183,98 @@ def test_synthesizer_roundtrip():
     for f, a_want in ((1000.0, 0.5), (9000.0, 0.3)):
         amp, snr = tone_fit(y[4000:], f, fs)
         assert amp == pytest.approx(a_want, rel=0.15), (f, amp)
+
+
+# ---------------------------------------------------------------------------
+# oversampled channelizer (oversample_rate > 1)
+# ---------------------------------------------------------------------------
+
+def _run_channelizer(x, M, taps, osr):
+    fg = Flowgraph()
+    src = StreamSource(x, out_port=PortSpec())
+    chan = pfb_channelizer_ccf(M, taps, oversample_rate=osr)
+    sinks = [vector_sink_c() for _ in range(M)]
+    fg.connect(src, chan)
+    for c in range(M):
+        fg.connect((chan, c), sinks[c])
+    TopBlock(fg).run()
+    return [s.data() for s in sinks]
+
+
+def test_channelizer_osr2_phase0_equals_maximally_decimated(rng):
+    """Every other osr=2 output sample (phase p=0, t=2s -> tR=sM) must be
+    EXACTLY the osr=1 output — the strongest internal-consistency check for
+    the oversampled commutator math."""
+    M = 8
+    fs = 80_000.0
+    taps = proto_taps(fs, M)
+    n = 1 << 13
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    y1 = _run_channelizer(x, M, taps, 1.0)
+    y2 = _run_channelizer(x, M, taps, 2.0)
+    for c in range(M):
+        k = min(len(y1[c]), len(y2[c]) // 2)
+        np.testing.assert_allclose(y2[c][0:2 * k:2], y1[c][:k],
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("osr", [2.0, 4.0])
+def test_channelizer_oversampled_tones(osr):
+    """qa_pfb_channelizer.py pattern at osr>1: tones at per-channel offsets
+    come out clean at the oversampled channel rate fs*osr/M."""
+    M = 8
+    fs = 80_000.0
+    ch_rate = fs / M * osr
+    offsets = {1: 300.0, 5: -450.0}
+    n = 1 << 15
+    t = np.arange(n) / fs
+    x = np.zeros(n, np.complex64)
+    for c, off in offsets.items():
+        f = (c - M if c > M // 2 else c) * (fs / M) + off
+        x += np.exp(2j * np.pi * f * t).astype(np.complex64)
+    ys = _run_channelizer(x, M, proto_taps(fs, M), osr)
+    settle = 1000
+    for c, off in offsets.items():
+        amp, snr = tone_fit(ys[c][settle:], off, ch_rate)
+        assert amp == pytest.approx(1.0, abs=0.05), (c, amp)
+        assert snr > 40.0, (c, snr)
+
+
+def test_channelizer_osr_fractional_hop(rng):
+    """N/i oversample rates with non-integer osr (reference allows any
+    integer hop R = M/osr): M=8, R=3 -> osr=8/3."""
+    M = 8
+    fs = 80_000.0
+    n = 3 * (1 << 12)
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * (fs / M + 200.0) * t).astype(np.complex64)
+    ys = _run_channelizer(x, M, proto_taps(fs, M), M / 3.0)
+    ch_rate = fs / 3.0
+    amp, snr = tone_fit(ys[1][2000:], 200.0, ch_rate)
+    assert amp == pytest.approx(1.0, abs=0.06)
+    assert snr > 35.0
+
+
+def test_channelizer_osr2_chunk_invariance(rng):
+    M = 4
+    fs = 16_000.0
+    taps = proto_taps(fs, M)
+    n = 1 << 12
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    outs = []
+    for tgt in (256, 4096):
+        fg = Flowgraph()
+        src = StreamSource(x, out_port=PortSpec())
+        chan = pfb_channelizer_ccf(M, taps, oversample_rate=2.0)
+        sinks = [vector_sink_c() for _ in range(M)]
+        fg.connect(src, chan)
+        for c in range(M):
+            fg.connect((chan, c), sinks[c])
+        TopBlock(fg, target_items=tgt).run()
+        outs.append([s.data() for s in sinks])
+    for c in range(M):
+        k = min(len(outs[0][c]), len(outs[1][c]))
+        np.testing.assert_allclose(outs[0][c][:k], outs[1][c][:k],
+                                   rtol=1e-4, atol=1e-5)
