@@ -3,25 +3,43 @@
 Measures complex Msamples/s through freq_xlating_fir(4x decim, 107 taps) ->
 quadrature_demod -> fir(5x decim, 215 taps) -> deemph IIR on one chip, steady
 state, host transfers excluded (device-resident input, like the reference's
-mp-sched synthetic which sources from null_source).
+mp-sched synthetic which sources from null_source). Step size 2^25 samples:
+the r01->r02 profile (benchmarks/profile_wfm.py) showed the axon tunnel's
+~0.8 ms dispatch floor dominates small steps; 2^25 amortizes it
+(668 Msps at 2^22 -> 1400 Msps at 2^25).
 
-vs_baseline: the reference has no published Msamples/s (BASELINE.md); its
-mp-sched synthetic saturates ~14.4 GFLOPS on a Core2 Duo. We report
-vs_baseline as achieved GFLOPS / 14.4 (the reference's best saturated
-figure) for a comparable FIR-dominated chain.
+Accounting (VERDICT r01 weak #1):
+  * vs_baseline — achieved useful GFLOPS / 14.4 GFLOPS, the reference's best
+    saturated mp-sched figure (BASELINE.md; the only published reference
+    throughput). Kept for cross-round continuity; the chip-relative numbers
+    below are the honest performance measures.
+  * mfu_pct — useful chain FLOPs vs this chip's MEASURED f32 matmul peak
+    (93.4 TFLOPS, benchmarks/bench_util.py CHIP).
+  * hbm_pct — minimum stream traffic (8 B/sample in, audio out) vs measured
+    266 GB/s. The chain is neither MXU- nor HBM-roofline-bound at this size;
+    the binding constraint is intermediate materialization (FIR framing) +
+    dispatch latency — see benchmarks/profile_wfm.py for the per-stage
+    decomposition and benchmarks/bench_all.py for all 5 BASELINE configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: metric/value/unit/vs_baseline + the roofline fields.
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-# persistent compilation cache: the axon tunnel makes first compiles slow
-# (minutes for conv-heavy programs); cache them across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+# chain FLOP model (per input sample, complex MAC = 8 real FLOPs):
+# stage1 complex-tap FIR: 107 taps * 8 / decim4 = 214; rotator ~4;
+# quad demod (conj-mult 6 + atan2 ~20) / 4 = 6.5; audio FIR 215*2/10 = 21.5;
+# deemph ~0.2  => ~246 useful FLOPs / input sample
+FLOPS_PER_SAMPLE = 246.0
+BYTES_PER_SAMPLE = 8.2          # f32 IQ planes in + audio out (min traffic)
+PEAK_TFLOPS = 93.4              # measured f32 matmul peak, this chip
+PEAK_HBM_GBPS = 266.0           # measured effective HBM rate, this chip
+REF_GFLOPS = 14.4               # reference mp-sched best saturated (BASELINE.md)
 
 
 def main():
@@ -30,34 +48,32 @@ def main():
     from jax import lax
     from gnuradio_tpu.models.wfm import make_wfm_step
 
-    samp_rate, quad_rate, audio_rate = 1_000_000.0, 250_000.0, 50_000.0
-    init_state, step, mult = make_wfm_step(samp_rate, quad_rate, audio_rate)
-
-    n = 1 << 22  # 4M complex samples per step
-
-    @jax.jit
-    def run(state, iq_f32):
-        x = lax.complex(iq_f32[:, 0], iq_f32[:, 1])
-        return step(state, x)
-
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
+    samp_rate, quad_rate, audio_rate = 1_000_000.0, 250_000.0, 50_000.0
+    init_state, step, mult = make_wfm_step(samp_rate, quad_rate, audio_rate)
+
+    n = 1 << 25  # 32M complex samples per step (amortizes dispatch latency)
+
+    @jax.jit
+    def run(state, iq_f32):
+        x = lax.complex(iq_f32[:, 0], iq_f32[:, 1])
+        return step(state, x)
+
     rng = np.random.default_rng(0)
     iq_host = rng.standard_normal((n, 2), dtype=np.float32) * 0.5
     iq = jax.device_put(iq_host)
-    # init under jit: eager complex array creation is unsupported on the
-    # axon backend (complex exists only inside compiled programs)
+    # init under jit: eager complex creation unsupported on axon
     state = jax.jit(init_state)()
 
-    # warm up + compile (fetch a scalar: on some experimental backends
-    # block_until_ready returns before execution completes, so a host fetch
-    # is the only reliable synchronization barrier)
+    # warm up + compile; host fetch of a small REAL slice is the only
+    # reliable sync barrier on axon (complex/0-d fetches unimplemented)
     state, audio = run(state, iq)
-    np.asarray(audio[-8:])  # 1-d slice: 0-d fetches are unimplemented on axon
+    np.asarray(audio[-8:])
 
     iters = 20
     t0 = time.perf_counter()
@@ -67,18 +83,16 @@ def main():
     dt = time.perf_counter() - t0
 
     msps = n * iters / dt / 1e6
-    # FLOP model (complex MAC = 8 FLOPs, real MAC = 2):
-    # chan FIR: 107 taps complex-in real-taps -> 4 real FLOPs/tap per input..
-    # count at input rate: 107*4; demod ~ at quad rate; audio FIR 215*2 at
-    # quad rate; conservative: FIR work only.
-    flops_per_in = 107 * 4 + (215 * 2) / 4
-    gflops = msps * 1e6 * flops_per_in / 1e9
-    ref_gflops = 14.4  # reference mp-sched best saturated (BASELINE.md)
+    gflops = msps * 1e6 * FLOPS_PER_SAMPLE / 1e9
+    gbps = msps * 1e6 * BYTES_PER_SAMPLE / 1e9
     out = {
         "metric": "wbfm_chain_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(gflops / ref_gflops, 2),
+        "vs_baseline": round(gflops / REF_GFLOPS, 2),
+        "mfu_pct": round(100 * gflops / (PEAK_TFLOPS * 1e3), 3),
+        "hbm_pct": round(100 * gbps / PEAK_HBM_GBPS, 2),
+        "chip": "TPU v5e (measured peaks: 93.4 f32 TFLOPS, 266 GB/s)",
     }
     print(json.dumps(out))
 

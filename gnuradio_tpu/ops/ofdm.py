@@ -97,15 +97,23 @@ def schmidl_cox_metric(x, fft_len=FFT_LEN):
         R(d) = sum_{m<L} |x[d+m+L]|^2
         M(d) = |P(d)|^2 / R(d)^2
     (ofdm_sync_sc_cfb_impl.cc builds this from moving-average blocks; here
-    two cumulative sums produce all lags in one pass.)
+    the length-L windowed sums are direct FIR dots on the MXU — NOT
+    cumulative-sum differencing, which catastrophically cancels in float32
+    when a strong burst precedes a quiet region and makes M garbage there.)
     Returns (M, P) arrays of length len(x) - fft_len."""
+    from ..kernels.fir_xla import fir_apply
     L = fft_len // 2
+    ones = np.ones(L, np.float32)
     prod = jnp.conj(x[:-L]) * x[L:]
-    cp = jnp.cumsum(prod)
-    P = jnp.concatenate([cp[L - 1:L], cp[L:] - cp[:-L]])  # windowed sum len L
-    mag = jnp.abs(x[L:]) ** 2
-    cm = jnp.cumsum(mag)
-    R = jnp.concatenate([cm[L - 1:L], cm[L:] - cm[:-L]])
+    P = fir_apply(prod, ones, 1)            # P[d] = sum prod[d..d+L-1]
+    # Normalize by the FULL-window energy (Minn's variant of S&C): the
+    # reference normalizes by the second half only
+    # (ofdm_sync_sc_cfb_impl.cc), which explodes at burst ENDS where the
+    # second half is quiet (P mixes burst x noise, R ~ noise^2). Halving the
+    # full-window energy is identical on true preambles (both halves equal)
+    # and suppresses the end spike — documented substitution.
+    mag = (jnp.abs(x) ** 2).astype(jnp.float32)
+    R = fir_apply(mag, np.ones(fft_len, np.float32), 1) * 0.5
     n = x.shape[0] - fft_len
     P = P[:n]
     R = jnp.maximum(R[:n], 1e-12)

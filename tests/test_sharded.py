@@ -99,3 +99,60 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# channel-axis sharding: channelizer + per-channel resampler
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("D", [2, 4, 8])
+def test_chan_sharded_channelizer_matches_unsharded(rng, D):
+    from gnuradio_tpu.models.channelize import make_channelizer_step
+    from gnuradio_tpu.models.channelize_sharded import make_channelizer_sharded
+
+    fs, M = 1_024_000.0, 16
+    mesh = make_mesh(n_time=1, n_chan=D)
+    init_s, step_s, specs = make_channelizer_sharded(
+        mesh, fs, M, resample_rate=0.75, nfilts=8)
+    init_u, step_u, meta = make_channelizer_step(
+        fs, M, resample_rate=0.75, nfilts=8)
+
+    n = specs["in_multiple"] * 32
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    iq = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+    st_s = jax.jit(init_s)()
+    st_u = jax.jit(init_u)()
+    outs_s, outs_u = [], []
+    for k in range(3):  # multi-step: state carry must match too
+        st_s, ys = step_s(st_s, jnp.asarray(iq))
+        st_u, yu = step_u(st_u, jnp.asarray(x))
+        ys = np.asarray(ys)
+        outs_s.append(ys[..., 0] + 1j * ys[..., 1])
+        outs_u.append(np.asarray(yu))
+    got = np.concatenate(outs_s, axis=1)
+    ref = np.concatenate(outs_u, axis=1)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_chan_sharded_channelizer_no_resampler(rng):
+    from gnuradio_tpu.models.channelize import make_channelizer_step
+    from gnuradio_tpu.models.channelize_sharded import make_channelizer_sharded
+
+    fs, M, D = 512_000.0, 8, 4
+    mesh = make_mesh(n_time=1, n_chan=D)
+    init_s, step_s, specs = make_channelizer_sharded(
+        mesh, fs, M, resample_rate=None)
+    init_u, step_u, meta = make_channelizer_step(fs, M, resample_rate=None)
+    n = specs["in_multiple"] * 64
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    iq = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    st_s = jax.jit(init_s)()
+    st_u = jax.jit(init_u)()
+    st_s, ys = step_s(st_s, jnp.asarray(iq))
+    st_u, yu = step_u(st_u, jnp.asarray(x))
+    ys = np.asarray(ys)
+    got = ys[..., 0] + 1j * ys[..., 1]
+    np.testing.assert_allclose(got, np.asarray(yu), rtol=2e-4, atol=2e-5)
