@@ -1,0 +1,174 @@
+"""All five BASELINE.json configs benchmarked on the real chip with
+roofline/MFU accounting (VERDICT r01 missing #2 / weak #1).
+
+Each config runs its functional jitted step with device-resident input,
+axon-safe sync, and a per-config useful-FLOPs + HBM-bytes model; results
+are written to BENCH_ALL_r02.json (and printed one JSON line per config).
+
+Run: nohup python -u benchmarks/bench_all.py > /tmp/bench_all.log 2>&1 &
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+from benchmarks.bench_util import (CHIP, roofline_report, setup_cache,
+                                   time_fn_carry)
+
+OUT = "/root/repo/BENCH_ALL_r02.json"
+
+
+def bench_wbfm():
+    import jax
+    from jax import lax
+    from gnuradio_tpu.models.wfm import make_wfm_step
+    init_state, step, mult = make_wfm_step(1e6, 250e3, 50e3)
+    n = 1 << 24
+
+    @jax.jit
+    def run(state, iq):
+        return step(state, lax.complex(iq[:, 0], iq[:, 1]))
+
+    iq = jax.jit(lambda: 0.5 * jax.random.normal(
+        jax.random.PRNGKey(0), (n, 2), dtype="float32"))()
+    st = jax.jit(init_state)()
+    dt = time_fn_carry(run, st, iq, iters=10)
+    msps = n / dt / 1e6
+    # 107-tap complex FIR/4 + rotator + demod + 215-tap audio FIR + deemph
+    return roofline_report("wbfm_rx_chain", msps, 246.0, 8.2)
+
+
+def bench_channelizer():
+    import jax
+    from jax import lax
+    from gnuradio_tpu.models.channelize import make_channelizer_step
+    init, step, meta = make_channelizer_step(6_400_000.0, 64,
+                                             resample_rate=0.9375)
+    # FLOP model per input sample: arm convs 4*ntaps/M ... compute exactly
+    from gnuradio_tpu.models.channelize import channelizer_taps, resampler_taps
+    ntaps = len(channelizer_taps(6_400_000.0, 64))
+    L_rs = -(-len(resampler_taps(1e5, 0.9375, 32)) // 32)
+    M = 64
+    flops = (4.0 * ntaps / M            # arm FIRs (complex data, real taps)
+             + 5.0 * np.log2(M)         # IFFT across arms
+             + (2 * L_rs * 4 + 8) * 0.9375)  # resampler: 2 banks + interp
+    n = (1 << 22)
+    n = (n // meta["in_multiple"]) * meta["in_multiple"]
+
+    @jax.jit
+    def run(state, iq):
+        return step(state, lax.complex(iq[:, 0], iq[:, 1]))
+
+    iq = jax.jit(lambda: 0.5 * jax.random.normal(
+        jax.random.PRNGKey(1), (n, 2), dtype="float32"))()
+    st = jax.jit(init)()
+    dt = time_fn_carry(run, st, iq, iters=10)
+    msps = n / dt / 1e6
+    return roofline_report("pfb_channelizer_64ch+arb_resampler", msps,
+                           float(flops), 8.0 + 7.5)  # in f32 + out complex
+
+
+def bench_qpsk():
+    import jax
+    from gnuradio_tpu.models.qpsk import make_qpsk_rx, qpsk_tx
+    sps = 4
+    init, step = make_qpsk_rx(sps)
+    n = 1 << 19   # symbol-rate lax.scan loops bind: keep steps moderate
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (n // sps) * 2)
+    iq, _ = qpsk_tx(bits, sps)
+    iqf = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+
+    from jax import lax
+
+    @jax.jit
+    def run(state, iqp):
+        return step(state, lax.complex(iqp[:, 0], iqp[:, 1]))
+
+    dev = jax.device_put(iqf[: n])
+    st = jax.jit(init)()
+    dt = time_fn_carry(run, st, dev, iters=5)
+    msps = n / dt / 1e6
+    # matched filter 11*sps taps + per-symbol scan loops (~100 FLOP/symbol)
+    flops = 11 * sps * 8 / 1.0 + 100.0 / sps
+    return roofline_report("qpsk_rx(agc+pfb_clock_sync+costas)", msps,
+                           flops, 8.0)
+
+
+def bench_ofdm_loopback():
+    import jax
+    import jax.numpy as jnp
+    from gnuradio_tpu.models.ofdm import ofdm_rx_burst, ofdm_tx_burst
+    from gnuradio_tpu.ops.ofdm import default_occupied_carriers
+    n_occ = len(default_occupied_carriers(64))
+    nf = 8
+    B = 256  # bursts per step
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 4, (B, nf * n_occ)).astype(np.int32)
+
+    @jax.jit
+    def run(state, sym_idx):
+        def one(si):
+            iq, _ = ofdm_tx_burst(si, 64, 16, pad=32)
+            out, diag = ofdm_rx_burst(iq, nf, 64, 16, equalizer="static")
+            return out
+        return state, jax.vmap(one)(sym_idx)
+
+    dev = jax.device_put(idx)
+    st = jnp.zeros(())
+    dt = time_fn_carry(run, st, dev, iters=10)
+    # samples processed = total time-domain burst samples through TX+RX
+    burst_len = 32 * 2 + (2 + nf) * (64 + 16)
+    msps = B * burst_len / dt / 1e6
+    # per sample: IFFT+FFT (2*5*log2(64)) + S&C metric (~40) + eq (~8)
+    return roofline_report("ofdm_loopback(tx+sync+chanest+eq+rx)", msps,
+                           2 * 5 * 6 + 48.0, 16.0)
+
+
+def bench_dvbt_tx():
+    import jax
+    import jax.numpy as jnp
+    from gnuradio_tpu.ops.dtv import (DVBTConfig, DVBTPilots, dvbt_tx,
+                                      dvbt_tx_bytes_per_superframe)
+    cfg = DVBTConfig()  # 2k 16QAM 1/2 defaults
+    pil = DVBTPilots(cfg)
+    nb1 = dvbt_tx_bytes_per_superframe(cfg)
+    k = next(k for k in range(1, 9) if (k * nb1) % 1504 == 0)
+    nb = nb1 * k
+    rng = np.random.default_rng(0)
+    ts = rng.integers(0, 256, nb).astype(np.uint8)
+
+    @jax.jit
+    def run(state, ts_bytes):
+        return state, dvbt_tx(ts_bytes, cfg, pil)
+
+    dev = jax.device_put(jnp.asarray(ts.view(np.int8)))
+    st = jnp.zeros(())
+    st, out = run(st, dev)
+    n_out = int(out.shape[0])
+    dt = time_fn_carry(run, st, dev, iters=10)
+    msps = n_out / dt / 1e6
+    # per OUTPUT sample: RS+interleave gathers ~16, conv code ~24,
+    # map/interleave ~16, IFFT 5*log2(2048)=55, pilots ~4
+    return roofline_report("dvbt_tx(2k,16qam,1/2)", msps, 115.0, 16.0)
+
+
+def main():
+    setup_cache()
+    results = []
+    for fn in (bench_wbfm, bench_channelizer, bench_qpsk,
+               bench_ofdm_loopback, bench_dvbt_tx):
+        try:
+            r = fn()
+        except Exception as e:  # keep going; record the failure
+            r = {"name": fn.__name__, "error": repr(e)[:300]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    with open(OUT, "w") as f:
+        json.dump({"chip": CHIP, "configs": results}, f, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,335 @@
+"""Reference-format .grc importer (read-only GRC interop).
+
+Loads GNU Radio Companion flowgraph files in the reference's YAML format
+(grc/core/platform.py / FlowGraph.py: `options` + `blocks` list with
+name/id/parameters + `connections` 4-tuples) onto this framework's blocks:
+
+  * `variable` blocks evaluate into a shared namespace (multi-pass, like
+    the reference generator's variable dependency resolution);
+  * `import` blocks exec their import lines into that namespace;
+  * each reference block id maps through an ADAPTER to one of our block
+    factories, with parameter expressions evaluated in the namespace
+    (firdes/analog/math shims provide the reference API names);
+  * GUI and hardware sinks (qtgui_*, audio_sink, uhd_usrp_sink) become
+    null sinks of the right dtype — the same graph topology runs headless,
+    which is what `grcc`-generated programs do under no-GUI options.
+
+Use `load_reference_grc(path)` -> (TopBlock, {name: Block}); pass
+`overrides={block_name: {param: value}}` to patch e.g. file paths, and
+`extra_adapters` to register out-of-tree mappings.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core.block import Block
+from .core.graph import Flowgraph
+from .core.runtime import TopBlock
+from .core.stream import PortSpec, B, S, I, F, C
+
+
+_DTYPES = {"complex": C, "float": F, "int": I, "short": S, "byte": B,
+           "cc": C, "ff": F, "c": C, "f": F}
+
+
+def _dtype_of(p, key="type", default="complex"):
+    """Map a GRC type param to a PortSpec dtype. NOTE: param values pass
+    through _eval, so 'float'/'int'/'complex' arrive as the BUILTIN types —
+    handle both forms."""
+    v = p.get(key, default)
+    if v is float:
+        return F
+    if v is complex:
+        return C
+    if v is int:
+        return I
+    return _DTYPES.get(str(v), C)
+
+
+class _ShimNS(dict):
+    """Attribute-style access for reference module names (analog.GR_*)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _base_namespace():
+    from .ops import firdes as _firdes
+    from .ops import analog as _analog
+    from .ops import fft as _fft
+    analog_shim = _ShimNS(
+        GR_COS_WAVE=_analog.GR_COS_WAVE, GR_SIN_WAVE=_analog.GR_SIN_WAVE,
+        GR_TRI_WAVE=_analog.GR_TRI_WAVE, GR_SAW_WAVE=_analog.GR_SAW_WAVE,
+        GR_SQR_WAVE=_analog.GR_SQR_WAVE, GR_CONST_WAVE=_analog.GR_CONST_WAVE)
+    firdes_shim = _firdes
+    window_shim = _ShimNS({n: getattr(_firdes, n) for n in dir(_firdes)
+                           if n.startswith("WIN_")})
+    filter_shim = _ShimNS(firdes=firdes_shim)
+    fft_shim = _ShimNS(window=window_shim)
+    return {
+        "math": math, "np": np, "numpy": np,
+        "firdes": firdes_shim, "analog": analog_shim,
+        "filter": filter_shim, "fft": fft_shim, "window": window_shim,
+        "True": True, "False": False, "None": None,
+        # safe builtins GRC param expressions rely on
+        "int": int, "float": float, "complex": complex, "bool": bool,
+        "str": str, "len": len, "abs": abs, "min": min, "max": max,
+        "round": round, "pow": pow, "range": range, "list": list,
+        "sum": sum,
+    }
+
+
+def _eval(expr, ns):
+    if expr is None:
+        return None
+    if not isinstance(expr, str):
+        return expr
+    s = expr.strip()
+    if s == "":
+        return ""
+    try:
+        return eval(s, {"__builtins__": {}}, ns)  # noqa: S307 — GRC params
+    except Exception:
+        return s  # bare strings (file paths, labels) pass through
+
+
+# ---------------------------------------------------------------------------
+# adapters: reference block id -> factory(params_evald, ns) -> Block | None
+# ---------------------------------------------------------------------------
+
+def _null_sink_for(params):
+    from .ops.blocks import null_sink
+    import jax.numpy as jnp
+    t = _dtype_of(params)
+    vlen = int(params.get("vlen", 1) or 1)
+    return null_sink(t, vlen)
+
+
+def _adapters():
+    from .ops import analog as A
+    from .ops import blocks as BL
+    from .ops import filter as FL
+    from .ops import pfb as PFB
+    from .ops import fileio as FIO
+    from .ops.blocks_extra3 import annotator_1to1  # noqa: F401
+
+    def sig_source(p, ns):
+        ctor = (A.sig_source_c if _dtype_of(p) is C
+                else A.sig_source_f)
+        return ctor(p["samp_rate"], p["waveform"], p["freq"],
+                    p.get("amp", 1.0), p.get("offset", 0.0))
+
+    def noise_source(p, ns):
+        ctor = (A.noise_source_c if _dtype_of(p) is C
+                else A.noise_source_f)
+        ntype = str(p.get("noise_type", "gaussian")).split("_")[-1].lower()
+        return ctor(ntype, p.get("amp", 1.0), int(p.get("seed", 0) or 0))
+
+    def add_const(p, ns):
+        t = _dtype_of(p)
+        return BL.add_const(p["const"], t)
+
+    def mult_const(p, ns):
+        t = _dtype_of(p)
+        return BL.multiply_const(p["const"], t)
+
+    def add_xx(p, ns):
+        t = _dtype_of(p)
+        return BL.add(t, int(p.get("num_inputs", 2)))
+
+    def multiply_xx(p, ns):
+        t = _dtype_of(p)
+        return BL.multiply(t, int(p.get("num_inputs", 2)))
+
+    def throttle(p, ns):
+        t = _dtype_of(p)
+        return BL.throttle(t, float(p.get("samples_per_second", 0) or 0))
+
+    def head(p, ns):
+        t = _dtype_of(p)
+        return BL.head(int(p["num_items"]), t)
+
+    def skiphead(p, ns):
+        from .core.stream import PortSpec as _PS
+        return BL.SkipHead(int(p["num_items"]), _PS(_dtype_of(p)))
+
+    def vector_source(p, ns):
+        import jax.numpy as jnp
+        import numpy as _np
+        t = {C: jnp.complex64, F: jnp.float32, I: jnp.int32,
+             S: jnp.int16, B: jnp.int8}[_dtype_of(p)]
+        return BL.vector_source(np.asarray(p["vector"]), bool(p.get(
+            "repeat", False) in (True, "True", "yes")), dtype=t)
+
+    def freq_mod(p, ns):
+        return A.frequency_modulator_fc(p["sensitivity"])
+
+    def quad_demod(p, ns):
+        return A.quadrature_demod_cf(p["gain"])
+
+    def arb_resampler(p, ns):
+        taps = p.get("taps")
+        rate = float(p["rrate"])
+        nfilts = int(p.get("nfilts", 32) or 32)
+        if taps is None or (isinstance(taps, str) and not taps):
+            from .models.channelize import resampler_taps
+            taps = resampler_taps(1.0, rate, nfilts,
+                                  float(p.get("atten", 80) or 80))
+        kind = str(p.get("type", "ccf"))
+        ctor = {"ccf": PFB.pfb_arb_resampler_ccf,
+                "ccc": PFB.pfb_arb_resampler_ccc,
+                "fff": PFB.pfb_arb_resampler_fff}[kind]
+        return ctor(rate, np.asarray(taps, np.float64), nfilts)
+
+    def fir_filter(p, ns):
+        kind = str(p.get("type", "ccf"))
+        taps = np.asarray(p["taps"])
+        decim = int(p.get("decim", 1) or 1)
+        ctor = {"ccf": FL.fir_filter_ccf, "ccc": FL.fir_filter_ccc,
+                "fff": FL.fir_filter_fff, "fcc": FL.fir_filter_fcc}[kind]
+        return ctor(decim, taps)
+
+    def file_source(p, ns):
+        from .utils import native
+        t = _dtype_of(p)
+        fmt = {C: native.IQ_CF32, F: native.F32,
+               B: native.U8}.get(t, native.IQ_CF32)
+        return FIO.file_source(str(p["file"]), fmt,
+                               repeat=p.get("repeat") in (True, "True"))
+
+    def file_sink(p, ns):
+        t = _dtype_of(p)
+        return FIO.file_sink(str(p["file"]), t)
+
+    def wfm_tx(p, ns):
+        from .models.wfm import WfmTx
+        return WfmTx(float(p.get("audio_rate", 32000) or 32000),
+                     float(p.get("quad_rate", 640000) or 640000),
+                     tau=float(p.get("tau", 75e-6) or 75e-6),
+                     max_dev=float(p.get("max_dev", 75e3) or 75e3),
+                     fh=float(p.get("fh", -1.0) or -1.0))
+
+    def wfm_rcv(p, ns):
+        from .models.wfm import WfmRcv
+        return WfmRcv(float(p["quad_rate"]),
+                      int(p.get("audio_decimation", 1)))
+
+    return {
+        "analog_sig_source_x": sig_source,
+        "analog_noise_source_x": noise_source,
+        "analog_frequency_modulator_fc": freq_mod,
+        "analog_quadrature_demod_cf": quad_demod,
+        "analog_wfm_tx": wfm_tx,
+        "analog_wfm_rcv": wfm_rcv,
+        "blocks_add_const_vxx": add_const,
+        "blocks_multiply_const_vxx": mult_const,
+        "blocks_add_xx": add_xx,
+        "blocks_multiply_xx": multiply_xx,
+        "blocks_throttle": throttle,
+        "blocks_head": head,
+        "blocks_skiphead": skiphead,
+        "blocks_vector_source_x": vector_source,
+        "blocks_file_source": file_source,
+        "blocks_file_sink": file_sink,
+        "blocks_null_sink": lambda p, ns: _null_sink_for(p),
+        "pfb_arb_resampler_xxx": arb_resampler,
+        "fir_filter_xxx": fir_filter,
+        # GUI / hardware sinks -> headless null sinks
+        "qtgui_freq_sink_x": lambda p, ns: _null_sink_for(p),
+        "qtgui_time_sink_x": lambda p, ns: _null_sink_for(p),
+        "qtgui_waterfall_sink_x": lambda p, ns: _null_sink_for(p),
+        "qtgui_const_sink_x": lambda p, ns: _null_sink_for(p),
+        "audio_sink": lambda p, ns: _null_sink_for({"type": "float"}),
+        "uhd_usrp_sink": lambda p, ns: _null_sink_for(p),
+    }
+
+
+_SKIP_IDS = {"variable", "variable_qtgui_label", "variable_qtgui_range",
+             "import", "parameter", "note", "virtual_sink", "virtual_source"}
+
+
+def load_reference_grc(path_or_text, overrides: dict | None = None,
+                       extra_adapters: dict | None = None):
+    """Parse a reference-format .grc file; returns (TopBlock, {name: Block}).
+
+    Blocks whose adapter returns None are dropped along with their
+    connections (disabled blocks are dropped like the reference does)."""
+    import yaml
+    text = path_or_text
+    if "\n" not in text:
+        with open(text) as f:
+            text = f.read()
+    doc = yaml.safe_load(text)
+    overrides = overrides or {}
+    adapters = _adapters()
+    if extra_adapters:
+        adapters.update(extra_adapters)
+
+    ns = _base_namespace()
+    specs = []
+    for bspec in doc.get("blocks", []):
+        bid, btype = bspec["name"], bspec["id"]
+        params = dict(bspec.get("parameters", {}))
+        if bspec.get("states", {}).get("state", "enabled") == "disabled":
+            continue
+        if btype == "import":
+            try:
+                exec(params.get("imports", ""), ns)  # noqa: S102
+            except Exception:
+                pass
+            continue
+        if btype == "parameter":
+            # parameters resolve alongside variables (dependency order
+            # unknown); default value lives under 'value'
+            specs.append(("var", bid, params))
+            continue
+        if btype.startswith("variable"):
+            specs.append(("var", bid, params))
+            continue
+        specs.append(("block", bid, (btype, params)))
+
+    # multi-pass variable resolution (dependency order unknown)
+    pending = [(bid, p) for kind, bid, p in specs if kind == "var"]
+    for _ in range(len(pending) + 1):
+        nxt = []
+        for bid, p in pending:
+            v = _eval(p.get("value"), ns)
+            if isinstance(v, str) and v == p.get("value", "").strip() and \
+                    any(t in v for t in (bid2 for bid2, _ in pending)):
+                nxt.append((bid, p))
+            else:
+                ns[bid] = v
+        if not nxt:
+            break
+        pending = nxt
+
+    blocks: dict[str, Block] = {}
+    for kind, bid, payload in specs:
+        if kind != "block":
+            continue
+        btype, params = payload
+        ad = adapters.get(btype)
+        if ad is None:
+            raise ValueError(
+                f"no adapter for reference block id {btype!r} ({bid}); pass "
+                "extra_adapters={...} to map it")
+        pe = {k: _eval(v, ns) for k, v in params.items()}
+        pe.update(overrides.get(bid, {}))
+        b = ad(pe, ns)
+        if b is None:
+            continue
+        b.name = bid
+        blocks[bid] = b
+
+    fg = Flowgraph()
+    for conn in doc.get("connections", []):
+        s, sp, d, dp = conn
+        if s not in blocks or d not in blocks:
+            continue  # endpoint dropped (disabled/unmapped sink)
+        fg.connect((blocks[s], int(sp)), (blocks[d], int(dp)))
+    return TopBlock(fg), blocks

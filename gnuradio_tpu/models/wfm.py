@@ -83,6 +83,34 @@ class WfmRcvFull(HierBlock):
         self.connect((self, 0), chan, rcv, (self, 0))
 
 
+class WfmTx(HierBlock):
+    """wfm_tx hier block (gr-analog/python/analog/wfm_tx.py): audio floats
+    in [-1,1] -> interpolating FIR (audio->quad rate) -> fm_preemph ->
+    frequency_modulator_fc(2*pi*max_dev/quad_rate) -> complex baseband."""
+
+    def __init__(self, audio_rate: float, quad_rate: float, tau: float = 75e-6,
+                 max_dev: float = 75e3, fh: float = -1.0, name=None):
+        super().__init__(name or "wfm_tx",
+                         in_ports=(PortSpec(F),), out_ports=(PortSpec(C),))
+        audio_rate, quad_rate = int(audio_rate), int(quad_rate)
+        if quad_rate % audio_rate:
+            raise ValueError("quad_rate must be an integer multiple of "
+                             "audio_rate (wfm_tx.py)")
+        from ..ops.analog import fm_preemph, frequency_modulator_fc
+        from ..ops.filter import interp_fir_filter_fff
+        interp = quad_rate // audio_rate
+        pre = fm_preemph(quad_rate, tau=tau, fh=fh)
+        mod = frequency_modulator_fc(2 * math.pi * max_dev / quad_rate)
+        if interp > 1:
+            taps = firdes.low_pass(interp, quad_rate,
+                                   min(16000.0, 0.4 * audio_rate),
+                                   0.1 * audio_rate, firdes.WIN_HAMMING)
+            it = interp_fir_filter_fff(interp, taps)
+            self.connect((self, 0), it, pre, mod, (self, 0))
+        else:
+            self.connect((self, 0), pre, mod, (self, 0))
+
+
 def wfm_rcv_graph(iq_data, samp_rate=1_000_000.0, quad_rate=250_000.0,
                   audio_rate=50_000.0, center_freq=0.0, max_dev=75_000.0,
                   tau=75e-6, chunk_mult=1):

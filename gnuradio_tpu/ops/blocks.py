@@ -194,6 +194,10 @@ class NullSink(SinkBlock):
         # reduce to a scalar so almost nothing crosses back to host
         return state, jnp.sum(jnp.abs(x)) * 0.0
 
+    @property
+    def tap_port(self):
+        return PortSpec(F)  # the tap is a real scalar, not the input dtype
+
     def collect(self, value):
         pass
 
