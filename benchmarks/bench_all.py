@@ -69,6 +69,31 @@ def bench_channelizer():
                            float(flops), 8.0 + 7.5)  # in f32 + out complex
 
 
+def bench_qpsk_feedforward():
+    import jax
+    from jax import lax
+    from gnuradio_tpu.models.qpsk import make_qpsk_rx_feedforward, qpsk_tx
+    sps = 4
+    init, step = make_qpsk_rx_feedforward(sps)
+    n = 1 << 23
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (n // sps) * 2)
+    iq, _ = qpsk_tx(bits, sps)
+    iqf = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+
+    @jax.jit
+    def run(state, iqp):
+        return step(state, lax.complex(iqp[:, 0], iqp[:, 1]))
+
+    dev = jax.device_put(iqf[: n])
+    st = jax.jit(init)()
+    dt = time_fn_carry(run, st, dev, iters=10)
+    msps = n / dt / 1e6
+    # MF 11*sps*8 + |y|^2/correlations ~20 + interp 8 + V&V ~10
+    return roofline_report("qpsk_rx_feedforward(O&M+V&V)", msps,
+                           11 * sps * 8 + 38.0, 8.0)
+
+
 def bench_qpsk():
     import jax
     from gnuradio_tpu.models.qpsk import make_qpsk_rx, qpsk_tx
@@ -92,7 +117,7 @@ def bench_qpsk():
     msps = n / dt / 1e6
     # matched filter 11*sps taps + per-symbol scan loops (~100 FLOP/symbol)
     flops = 11 * sps * 8 / 1.0 + 100.0 / sps
-    return roofline_report("qpsk_rx(agc+pfb_clock_sync+costas)", msps,
+    return roofline_report("qpsk_rx_tracking_loops(pfb_clock_sync+costas)", msps,
                            flops, 8.0)
 
 
@@ -157,8 +182,8 @@ def bench_dvbt_tx():
 def main():
     setup_cache()
     results = []
-    for fn in (bench_wbfm, bench_channelizer, bench_qpsk,
-               bench_ofdm_loopback, bench_dvbt_tx):
+    for fn in (bench_wbfm, bench_channelizer, bench_qpsk_feedforward,
+               bench_qpsk, bench_ofdm_loopback, bench_dvbt_tx):
         try:
             r = fn()
         except Exception as e:  # keep going; record the failure

@@ -94,6 +94,26 @@ class Flowgraph:
         self.add(src, dst)
         self.msg_edges.append((src, src_port, dst, dst_port))
 
+    def disconnect(self, src, dst):
+        """Remove one stream edge (flowgraph.cc disconnect analog). Blocks
+        left with no edges stay registered; unreachable blocks fail
+        validate() like the reference's contiguity checks."""
+        s, d = _as_endpoint(src), _as_endpoint(dst)
+        for e in self.edges:
+            if e.src == s and e.dst == d:
+                self.edges.remove(e)
+                return
+        raise ValueError(f"no edge {s} -> {d}")
+
+    def remove_block(self, b: Block):
+        """Drop a block and every edge touching it."""
+        self.edges = [e for e in self.edges
+                      if e.src.block is not b and e.dst.block is not b]
+        self.msg_edges = [m for m in self.msg_edges
+                          if m[0] is not b and m[2] is not b]
+        if b in self._blocks:
+            self._blocks.remove(b)
+
     def disconnect_all(self):
         self.edges = []
         self._blocks = []

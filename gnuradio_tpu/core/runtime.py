@@ -250,6 +250,38 @@ class TopBlock:
     def run_steps(self, n: int):
         return self.run(n_steps=n)
 
+    # ---- live reconfiguration (top_block_impl.cc:165-206 lock/unlock +
+    # flat_flowgraph.cc merge_connections) ----
+    def lock(self):
+        """Pause-for-edit: after lock() the flowgraph (self.fg) may be
+        mutated (connect/disconnect/remove_block/swap blocks). The reference
+        stops its scheduler here; our 'scheduler' is a compiled artifact, so
+        lock just opens the edit window."""
+        self._locked = True
+
+    def unlock(self):
+        """Recompile the edited graph and CARRY FORWARD state for surviving
+        blocks by NAME (merge_connections analog: the reference reuses the
+        old buffers of unchanged connections; here the per-block state
+        pytrees are the buffers' moral equivalent). Blocks whose state
+        structure changed (e.g. new tap length) restart from fresh init —
+        exactly like the reference reallocating an incompatible buffer."""
+        if not getattr(self, "_locked", False):
+            raise RuntimeError("unlock() without lock()")
+        self._locked = False
+        old_state = self.state
+        self._compiled = None
+        cg = self.compile()          # re-flatten + validate + retrace
+        if old_state is None:
+            return self
+        fresh = cg.init_state()
+        merged = {}
+        for name, init_leaf in fresh.items():
+            old = old_state.get(name) if isinstance(old_state, dict) else None
+            merged[name] = old if _state_compatible(old, init_leaf) else init_leaf
+        self.state = merged
+        return self
+
     # ---- checkpoint/resume (beyond the reference, which has none —
     # SURVEY.md §5; closest analog is file_meta_sink persistence) ----
     def save_state(self, path: str):
@@ -291,6 +323,22 @@ class TopBlock:
                 i += 1
         self.state = jax.tree_util.tree_unflatten(treedef, leaves)
         return self
+
+
+def _state_compatible(old, new) -> bool:
+    """Same pytree structure + leaf shapes/dtypes (mergeable across a
+    reconfiguration)."""
+    if old is None or new is None:
+        return old is None and new is None
+    to = jax.tree_util.tree_structure(old)
+    tn = jax.tree_util.tree_structure(new)
+    if to != tn:
+        return False
+    lo = jax.tree_util.tree_leaves(old)
+    ln = jax.tree_util.tree_leaves(new)
+    return all(getattr(a, "shape", None) == getattr(b, "shape", None)
+               and getattr(a, "dtype", None) == getattr(b, "dtype", None)
+               for a, b in zip(lo, ln))
 
 
 def jnp_asarray_safe(a):

@@ -97,24 +97,9 @@ def make_channelizer_step(fs: float = 6_400_000.0, nchans: int = 64,
         out_state = {"chan": st_c}
         if rs is None:
             return out_state, Y
-        T = Y.shape[1]
         xp = jnp.concatenate([state["rs"], Y], axis=1)  # (M, L+T)
-        tail = xp[:, xp.shape[1] - rs.L:]
-        n_out = T * rs.P // rs.Q
-        k = np.arange(n_out, dtype=np.int64)
-        num = k * (rs.nfilts * rs.Q)
-        m = num // rs.P
-        n_idx = (m // rs.nfilts).astype(np.int32)
-        j = (m % rs.nfilts).astype(np.int32)
-        a = ((num % rs.P) / rs.P).astype(np.float32)
-        win_idx = n_idx[:, None] + (rs.L - 1) - np.arange(rs.L)[None, :]
-        W = xp[:, jnp.asarray(win_idx)]                  # (M, n_out, L)
-        Tp = jnp.asarray(rs.arms)[jnp.asarray(j)]        # (n_out, L)
-        Dp = jnp.asarray(rs.darms)[jnp.asarray(j)]
-        o0 = jnp.sum(W * Tp[None], axis=2)
-        o1 = jnp.sum(W * Dp[None], axis=2)
-        out = o0 + jnp.asarray(a)[None] * o1             # (M, n_out)
-        out_state["rs"] = tail
+        out_state["rs"] = xp[:, xp.shape[1] - rs.L:]
+        out = rs.resample_batched(xp)                    # (M, T*P/Q)
         return out_state, out.astype(jnp.complex64)
 
     meta = {"in_multiple": in_mult, "nchans": nchans, "ch_rate": ch_rate,

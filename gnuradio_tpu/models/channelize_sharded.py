@@ -102,20 +102,7 @@ def make_channelizer_sharded(mesh: Mesh, fs: float = 6_400_000.0,
         rs_tail = state["rs"]                                # (Mloc, L) local
         xp2 = jnp.concatenate([rs_tail, Y], axis=1)
         new_state["rs"] = xp2[:, xp2.shape[1] - rs.L:]
-        n_out = T * rs.P // rs.Q
-        k = np.arange(n_out, dtype=np.int64)
-        num = k * (rs.nfilts * rs.Q)
-        mm = num // rs.P
-        n_idx = (mm // rs.nfilts).astype(np.int32)
-        jj = (mm % rs.nfilts).astype(np.int32)
-        aa = ((num % rs.P) / rs.P).astype(np.float32)
-        win_idx = n_idx[:, None] + (rs.L - 1) - np.arange(rs.L)[None, :]
-        Wn = xp2[:, jnp.asarray(win_idx)]                    # (Mloc, n_out, L)
-        Tp = jnp.asarray(rs.arms)[jnp.asarray(jj)]
-        Dp = jnp.asarray(rs.darms)[jnp.asarray(jj)]
-        o0 = jnp.sum(Wn * Tp[None], axis=2)
-        o1 = jnp.sum(Wn * Dp[None], axis=2)
-        out = (o0 + jnp.asarray(aa)[None] * o1).astype(jnp.complex64)
+        out = rs.resample_batched(xp2).astype(jnp.complex64)  # (Mloc, T*P/Q)
         return new_state, jnp.stack([out.real, out.imag], axis=-1)
 
     repl = P()

@@ -341,6 +341,86 @@ class PfbArbResampler(Block):
         self.in_ports = (PortSpec(C),)
         self.out_ports = (PortSpec(C),)
         self.rate = float(rate)
+        self._build_tap_matrix()
+
+    def _build_tap_matrix(self):
+        """Rational-rate banded tap matrix: the (arm, fraction) schedule
+        repeats every P outputs / Q inputs, and the linear interpolation
+        o0 + a*o1 FOLDS into per-output combined taps arms[j] + a*darms[j].
+        One (G, t*Q+L-1) frame matrix @ (t*Q+L-1, t*P) tap matrix then
+        yields t*P outputs per frame on the MXU — no per-output gather at
+        all (gather-based indexing was ~30x off roofline on TPU). t tiles
+        groups up toward the 128-lane MXU width."""
+        P, Q, nf, L = self.P, self.Q, self.nfilts, self.L
+        if P * Q > (1 << 22):  # pathological rationals: keep gather path
+            self.TM = None
+            return
+        t = max(1, -(-128 // min(P, 128)))
+        self.tile_groups = t
+        Wd = t * Q + L - 1
+        TM = np.zeros((Wd, t * P), np.float32)
+        for r in range(P):
+            num = r * nf * Q
+            m = num // P
+            j = m % nf
+            a = (num % P) / P
+            n_r = m // nf
+            ct = self.arms[j] + np.float32(a) * self.darms[j]  # (L,)
+            for s in range(t):
+                rows = s * Q + n_r + (L - 1) - np.arange(L)
+                TM[rows, s * P + r] += ct
+        self.TM = TM
+        self.Wd = Wd
+
+    def _resample_gather(self, xp, n_out):
+        """Per-output gather fallback for rationals too large to tabulate
+        (arbitrary float rates): window gather + two batched dots."""
+        nf, L = self.nfilts, self.L
+        k = np.arange(n_out, dtype=np.int64)
+        num = k * (nf * self.Q)
+        m = num // self.P
+        n_idx = (m // nf).astype(np.int32)
+        j = (m % nf).astype(np.int32)
+        a = ((num % self.P) / self.P).astype(np.float32)
+        win_idx = n_idx[:, None] + (L - 1) - np.arange(L)[None, :]
+        W = xp[:, jnp.asarray(win_idx)]                # (B, n_out, L)
+        Tp = jnp.asarray(self.arms)[jnp.asarray(j)]
+        Dp = jnp.asarray(self.darms)[jnp.asarray(j)]
+        o0 = jnp.sum(W * Tp[None], axis=2)
+        o1 = jnp.sum(W * Dp[None], axis=2)
+        return o0 + jnp.asarray(a)[None] * o1
+
+    def resample_batched(self, xp):
+        """xp: (B, L + n) complex with L-history prepended; returns
+        (B, n*P/Q) complex. Pure framing (shifted reshapes) + ONE matmul."""
+        from ..kernels.fir_xla import _frame
+        import jax
+        from jax import lax
+        B, total = xp.shape
+        n = total - self.L
+        n_out = n * self.P // self.Q
+        if self.TM is None:
+            return self._resample_gather(xp, n_out)
+        t, P, Q = self.tile_groups, self.P, self.Q
+        G = -(-n_out // (t * P))
+        hop = t * Q
+        # window of output r in group g starts at xp[g*Q + n_r]; with the
+        # L-history convention the frame for group g is xp[g*hop : g*hop+Wd]
+        F = jax.vmap(lambda v: _frame(v, G, hop, self.Wd))(xp)  # (B, G, Wd)
+        TMj = jnp.asarray(self.TM)
+
+        def mm(Fr):
+            return lax.dot_general(
+                Fr, TMj, dimension_numbers=(((2,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST)
+
+        if jnp.iscomplexobj(xp):
+            Yr = mm(F.real.astype(jnp.float32))
+            Yi = mm(F.imag.astype(jnp.float32))
+            Y = lax.complex(Yr, Yi)
+        else:
+            Y = mm(F.astype(jnp.float32))
+        return Y.reshape(B, G * t * P)[:, :n_out]
 
     @property
     def in_rates(self):
@@ -360,26 +440,10 @@ class PfbArbResampler(Block):
 
     def apply(self, state, inputs, n_in):
         x = inputs[0]
-        nf, L = self.nfilts, self.L
-        n = x.shape[0]
-        n_out = n * self.P // self.Q
         xp = jnp.concatenate([state, x], axis=0)   # (L + n,)
-        tail = xp[xp.shape[0] - L:]
-        k = np.arange(n_out, dtype=np.int64)
-        num = k * (nf * self.Q)
-        m = num // self.P                          # combined index (host np)
-        n_idx = (m // nf).astype(np.int32)         # input sample index
-        j = (m % nf).astype(np.int32)              # arm index
-        a = ((num % self.P) / self.P).astype(np.float32)  # interp fraction
-        # window for output k: x[n_k - l], l = 0..L-1 -> xp[n_k + L-1 - l]
-        win_idx = (n_idx[:, None] + (L - 1) - np.arange(L)[None, :])
-        W = xp[jnp.asarray(win_idx)]               # (n_out, L) complex
-        Tp = jnp.asarray(self.arms)[jnp.asarray(j)]    # (n_out, L)
-        Dp = jnp.asarray(self.darms)[jnp.asarray(j)]
-        o0 = jnp.sum(W * Tp, axis=1)
-        o1 = jnp.sum(W * Dp, axis=1)
-        y = o0 + jnp.asarray(a) * o1
-        return tail, (y.astype(C),)
+        tail = xp[xp.shape[0] - self.L:]
+        y = self.resample_batched(xp[None])[0]
+        return tail, (y.astype(x.dtype),)
 
 
 def pfb_arb_resampler_ccf(rate, taps, nfilts=32):

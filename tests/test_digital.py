@@ -147,3 +147,27 @@ def test_qpsk_loopback_chunked(rng):
         outs.append(np.asarray(sym))
     ser = ber_after_alignment(np.concatenate(outs), tx_sym, skip=1500)
     assert ser < 0.01, ser
+
+
+def test_qpsk_feedforward_rx_loopback(rng):
+    """TPU-first feedforward QPSK receiver (O&M timing + V&V carrier):
+    same BER contract as the tracking-loop form, fully parallel."""
+    from gnuradio_tpu.models.qpsk import make_qpsk_rx_feedforward
+    nsym = 16384
+    bits = rng.integers(0, 2, 2 * nsym)
+    iq, tx_sym = qpsk_tx(bits, sps=4)
+    # impairments: timing offset + small CFO + phase + noise
+    frac = 0.6
+    t = np.arange(len(iq) - 1)
+    x = (iq[:-1] * (1 - frac) + iq[1:] * frac)  # fractional delay
+    cfo = 2e-5
+    x = x * np.exp(1j * (2 * np.pi * cfo * t + 0.7))
+    x = (x + 0.02 * (rng.standard_normal(len(x))
+                     + 1j * rng.standard_normal(len(x)))).astype(np.complex64)
+    init_s, step = make_qpsk_rx_feedforward(sps=4)
+    import jax
+    st = jax.jit(init_s)()
+    n = (len(x) // 4096) * 4096
+    st, sym = jax.jit(step)(st, jnp.asarray(x[:n]))
+    ser = ber_after_alignment(np.asarray(sym), tx_sym, skip=1024)
+    assert ser < 1e-3, ser
