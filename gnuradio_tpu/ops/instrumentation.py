@@ -142,3 +142,118 @@ class EyeSink(TimeRasterSink):
     def eye(self) -> np.ndarray:
         """[ntraces, 2*sps] matrix of eye traces."""
         return self.data()
+
+
+class TimeSink(SinkBlock):
+    """time_sink_c/f: triggered time-domain capture (qtgui_time_sink — the
+    display pipeline without the GUI). Per chunk, captures the first
+    `npoints` samples after the trigger condition (level crossing on the
+    chosen edge), or free-runs when trigger is disabled. Frames accumulate
+    on the host like the QT display's trace history."""
+
+    def __init__(self, npoints: int = 1024, dtype=C, trigger_level=None,
+                 rising: bool = True, name=None):
+        super().__init__(PortSpec(dtype), name)
+        self.npoints = int(npoints)
+        self.trigger_level = trigger_level
+        self.rising = bool(rising)
+        self.frames: list[np.ndarray] = []
+
+    @property
+    def tap_port(self):
+        return PortSpec(self.in_ports[0].dtype, self.npoints)
+
+    def tap(self, state, x):
+        n = x.shape[0]
+        v = x.real if jnp.iscomplexobj(x) else x
+        if self.trigger_level is None:
+            start = jnp.zeros((), jnp.int32)
+        else:
+            lvl = jnp.float32(self.trigger_level)
+            above = v >= lvl
+            prev = jnp.concatenate([above[:1], above[:-1]])
+            edge = (above & ~prev) if self.rising else (~above & prev)
+            any_edge = jnp.any(edge)
+            start = jnp.where(any_edge, jnp.argmax(edge), 0).astype(jnp.int32)
+        start = jnp.minimum(start, jnp.int32(max(0, n - self.npoints)))
+        import jax
+        frame = jax.lax.dynamic_slice(x, (start,), (min(self.npoints, n),))
+        if self.npoints > n:
+            frame = jnp.pad(frame, (0, self.npoints - n))
+        return state, frame[None]
+
+    def collect(self, value):
+        self.frames.append(np.asarray(value)[0])
+
+
+def time_sink_c(npoints=1024, trigger_level=None, rising=True):
+    return TimeSink(npoints, C, trigger_level, rising)
+
+
+def time_sink_f(npoints=1024, trigger_level=None, rising=True):
+    return TimeSink(npoints, F, trigger_level, rising)
+
+
+class NumberSink(SinkBlock):
+    """number_sink: running average of the most recent chunk (the QT number
+    display's averaged scalar)."""
+
+    def __init__(self, avg_alpha: float = 1.0, dtype=F, name=None):
+        super().__init__(PortSpec(dtype), name)
+        self.alpha = float(avg_alpha)
+        self.value = 0.0
+
+    @property
+    def tap_port(self):
+        return PortSpec(F)
+
+    def tap(self, state, x):
+        v = jnp.abs(x) if jnp.iscomplexobj(x) else x
+        return state, jnp.mean(v.astype(jnp.float32))
+
+    def collect(self, value):
+        m = float(np.asarray(value))
+        a = self.alpha
+        self.value = m if self.value == 0.0 else (1 - a) * self.value + a * m
+
+
+def number_sink(avg_alpha=1.0, dtype=F):
+    return NumberSink(avg_alpha, dtype)
+
+
+class BerSink(SinkBlock):
+    """qtgui ber_sink_b analog: two byte streams (ref, rx) -> running BER.
+    Device computes per-chunk (errors, bits); host accumulates totals."""
+
+    def __init__(self, name=None):
+        from ..core.block import Block
+        Block.__init__(self, name)
+        from ..core.stream import B as _B, I as _I
+        self.in_ports = (PortSpec(_B), PortSpec(_B))
+        self.out_ports = ()
+        self.errors = 0
+        self.bits = 0
+
+    @property
+    def tap_port(self):
+        from ..core.stream import I as _I
+        return PortSpec(_I, 2)
+
+    def apply(self, state, inputs, n_in):
+        a, b = inputs
+        diff = (a.astype(jnp.int32) ^ b.astype(jnp.int32)) & 0xFF
+        bitcount = jnp.sum(sum(((diff >> k) & 1) for k in range(8)))
+        total = jnp.int32(a.shape[0] * 8)
+        return state, (jnp.stack([bitcount.astype(jnp.int32), total])[None],)
+
+    def collect(self, value):
+        v = np.asarray(value).reshape(-1)
+        self.errors += int(v[0])
+        self.bits += int(v[1])
+
+    def ber(self) -> float:
+        return self.errors / self.bits if self.bits else 0.0
+
+
+def ber_sink_b():
+    return BerSink()

@@ -37,6 +37,15 @@ from ..core.stream import PortSpec, C, F
 from ..kernels.fir_xla import fir_apply_batched
 
 
+def _arm_rows(xp, M: int, rows_len: int):
+    """Polyphase commutator relayout: rows U[m, j] = xp[j*M + M-1-m],
+    shape (M, rows_len), as reshape+transpose+flip (no strided gathers)."""
+    need = rows_len * M
+    if xp.shape[0] < need:
+        xp = jnp.pad(xp, (0, need - xp.shape[0]))
+    return jnp.flip(xp[:need].reshape(rows_len, M).T, axis=0)
+
+
 def _pad_arms(taps, M):
     """Split prototype taps into M arms: arm m holds taps[m::M], zero-padded
     to equal length L. Returns (M, L) array."""
@@ -116,11 +125,13 @@ class PfbChannelizer(Block):
         return jnp.zeros((self.L * self.M - 1,), C)
 
     def _arm_signals(self, xp, nout_per_row: int):
-        """(M, L-1+nout_per_row) strided arm rows: u_m[k] = x[kM - m]."""
-        M, L = self.M, self.L
-        return jnp.stack(
-            [xp[M - 1 - m: M - 1 - m + (L - 1 + nout_per_row) * M: M]
-             for m in range(M)], axis=0)
+        """(M, L-1+nout_per_row) arm rows: u_m[j] = xp[jM + M-1-m].
+
+        Built as ONE reshape + transpose + flip — M strided slices
+        (xp[M-1-m::M]) compile to stride-M gathers that run ~20x slower
+        than this 2-D relayout on TPU (measured: 58.8 ms vs <3 ms for the
+        64-ch config's arm build)."""
+        return _arm_rows(xp, self.M, self.L - 1 + nout_per_row)
 
     def apply(self, state, inputs, n_in):
         x = inputs[0]
@@ -243,8 +254,7 @@ class PfbDecimator(Block):
         T = x.shape[0] // M
         xp = jnp.concatenate([state, x], axis=0)
         tail = xp[xp.shape[0] - (L * M - 1):]
-        U = jnp.stack([xp[M - 1 - m: M - 1 - m + (L - 1 + T) * M: M]
-                       for m in range(M)], axis=0)
+        U = _arm_rows(xp, M, L - 1 + T)
         V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
         # single-channel DFT bin instead of full FFT
         ph = jnp.exp(2j * jnp.pi * c * jnp.arange(M) / M).astype(C)

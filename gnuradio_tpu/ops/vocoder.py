@@ -216,7 +216,12 @@ freedv_tx_ss = _gated("freedv_tx_ss")
 freedv_rx_ss = _gated("freedv_rx_ss")
 gsm_fr_encode_sp = _gated("gsm_fr_encode_sp")
 gsm_fr_decode_ps = _gated("gsm_fr_decode_ps")
-g721_encode_sb = _gated("g721_encode_sb")
-g721_decode_bs = _gated("g721_decode_bs")
-g723_24_encode_sb = _gated("g723_24_encode_sb")
-g723_24_decode_bs = _gated("g723_24_decode_bs")
+
+# G.726-family ADPCM implemented natively (ops/adpcm.py) — no external lib
+from .adpcm import (g721_encode_bs, g721_decode_bs,       # noqa: E402,F401
+                    g723_24_encode_bs, g723_24_decode_bs,
+                    g723_40_encode_bs, g723_40_decode_bs)
+
+g721_encode_sb = g721_encode_bs
+g723_24_encode_sb = g723_24_encode_bs
+g723_40_encode_sb = g723_40_encode_bs

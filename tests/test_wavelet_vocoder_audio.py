@@ -132,3 +132,54 @@ def test_audio_registry_and_wav_backend(rng, tmp_path):
     rsnk = blk.vector_sink_f()
     run_graph(rsrc, rsnk)
     np.testing.assert_allclose(rsnk.data(), x, atol=2 / 32768)
+
+
+# ---------------------------------------------------------------------------
+# G.726-family ADPCM (g721 / g723_24 / g723_40)
+# ---------------------------------------------------------------------------
+
+def _adpcm_snr(bits, n=4000):
+    import jax
+    from gnuradio_tpu.ops.adpcm import AdpcmEncoder, AdpcmDecoder
+    fs = 8000.0
+    t = np.arange(n) / fs
+    x = (0.3 * np.sin(2 * np.pi * 420 * t)
+         + 0.15 * np.sin(2 * np.pi * 1100 * t)).astype(np.float32)
+    enc, dec = AdpcmEncoder(bits), AdpcmDecoder(bits)
+    se = jax.jit(enc.init_state)()
+    sd = jax.jit(dec.init_state)()
+    se, codes = jax.jit(enc.work)(se, jnp.asarray(x))
+    sd, y = jax.jit(dec.work)(sd, codes)
+    y = np.asarray(y)
+    d = y[200:] - x[200:]
+    return 10 * np.log10(np.mean(x[200:] ** 2) / np.mean(d ** 2))
+
+
+def test_adpcm_roundtrip_snr_and_rate_ordering():
+    s3 = _adpcm_snr(3)
+    s4 = _adpcm_snr(4)
+    s5 = _adpcm_snr(5)
+    assert s3 > 20.0, s3   # 24 kbit/s
+    assert s4 > 30.0, s4   # 32 kbit/s (G.721)
+    assert s5 > 36.0, s5   # 40 kbit/s
+    assert s3 < s4 < s5    # more bits -> better
+
+
+def test_adpcm_block_graph_roundtrip(rng):
+    import jax
+    from gnuradio_tpu import Flowgraph, TopBlock
+    from gnuradio_tpu.ops import blocks as blk
+    from gnuradio_tpu.ops.vocoder import g721_encode_bs, g721_decode_bs
+    fs = 8000.0
+    t = np.arange(4096) / fs
+    x = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    src = blk.vector_source(x, dtype=jnp.float32)
+    enc, dec = g721_encode_bs(), g721_decode_bs()
+    snk = blk.vector_sink(jnp.float32)
+    fg = Flowgraph()
+    fg.connect(src, enc, dec, snk)
+    TopBlock(fg, target_items=1024).run()
+    y = snk.data()
+    d = y[200:] - x[200:len(y)]
+    snr = 10 * np.log10(np.mean(x[200:len(y)] ** 2) / np.mean(d ** 2))
+    assert snr > 30.0, snr
