@@ -333,3 +333,51 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             continue  # endpoint dropped (disabled/unmapped sink)
         fg.connect((blocks[s], int(sp)), (blocks[d], int(dp)))
     return TopBlock(fg), blocks
+
+
+# ---------------------------------------------------------------------------
+# legacy GRC 3.7 XML converter (grc/converter/flow_graph.py analog)
+# ---------------------------------------------------------------------------
+
+def convert_legacy_xml(xml_text: str) -> dict:
+    """Convert a GNU Radio 3.7 .grc XML document to the 3.8+ YAML dict
+    structure load_reference_grc consumes (grc/converter/ analog: blocks
+    with <param><key>/<value> pairs; connections with
+    source/sink_block_id + key elements). The 3.7 'id' param becomes the
+    block name; 3.7 block keys (same naming scheme) map through the same
+    adapters."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_text)
+    blocks = []
+    for b in root.findall("block"):
+        key = b.findtext("key")
+        params = {}
+        for p in b.findall("param"):
+            params[p.findtext("key")] = p.findtext("value")
+        name = params.pop("id", key)
+        entry = {"name": name, "id": key, "parameters": params}
+        if params.get("_enabled", "True") in ("0", "False"):
+            entry["states"] = {"state": "disabled"}
+        blocks.append(entry)
+    conns = []
+    for c in root.findall("connection"):
+        conns.append([c.findtext("source_block_id"),
+                      c.findtext("source_key"),
+                      c.findtext("sink_block_id"),
+                      c.findtext("sink_key")])
+    opt = next((b for b in blocks if b["id"] == "options"), None)
+    doc = {"blocks": [b for b in blocks if b["id"] != "options"],
+           "connections": conns,
+           "options": {"parameters": opt["parameters"] if opt else {}}}
+    return doc
+
+
+def load_legacy_grc(path_or_xml: str, **kw):
+    """Load a 3.7 XML .grc through the converter + the reference loader."""
+    import yaml
+    text = path_or_xml
+    if "\n" not in text:
+        with open(text) as f:
+            text = f.read()
+    doc = convert_legacy_xml(text)
+    return load_reference_grc(yaml.safe_dump(doc), **kw)

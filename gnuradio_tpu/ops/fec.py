@@ -320,8 +320,11 @@ class GF256:
         exp[255:510] = exp[0:255]
         self.prim_poly = prim_poly
         self.exp_np, self.log_np = exp, log
-        self.exp = jnp.asarray(exp)
-        self.log = jnp.asarray(log)
+        # stored as NUMPY: jnp constants created inside one jit trace leak
+        # as tracers when the (cached) instance is reused in another trace;
+        # numpy operands lift to device constants per-trace safely
+        self.exp = np.asarray(exp)
+        self.log = np.asarray(log)
 
     # host-side scalar helpers (table construction)
     def mul_np(self, a, b):
@@ -335,19 +338,24 @@ class GF256:
             out[i: i + len(q)] ^= self.mul_np(pi, np.asarray(q, np.int32))
         return out
 
-    # device-side vector ops
+    # device-side vector ops (tables lifted per-trace: numpy arrays can't
+    # be INDEXED by tracers, and jnp attrs stored at __init__ leak tracers
+    # across traces — so convert at use)
     def mul(self, a, b):
-        out = self.exp[self.log[a] + self.log[b]]
+        exp, log = jnp.asarray(self.exp), jnp.asarray(self.log)
+        out = exp[log[a] + log[b]]
         return jnp.where((a == 0) | (b == 0), 0, out)
 
     def inv(self, a):
-        return self.exp[255 - self.log[a]]  # undefined at 0 (callers mask)
+        exp, log = jnp.asarray(self.exp), jnp.asarray(self.log)
+        return exp[255 - log[a]]  # undefined at 0 (callers mask)
 
     def matvec(self, M_log, M_nz, v):
         """XOR-reduce_k M[., k] * v[k] with M given as log table + nonzero
         mask (precomputed host-side). v: [..., K] -> [..., J]."""
-        prod = self.exp[M_log + self.log[v][..., None, :]]
-        prod = jnp.where(M_nz & (v[..., None, :] != 0), prod, 0)
+        exp, log = jnp.asarray(self.exp), jnp.asarray(self.log)
+        prod = exp[jnp.asarray(M_log) + log[v][..., None, :]]
+        prod = jnp.where(jnp.asarray(M_nz) & (v[..., None, :] != 0), prod, 0)
         # XOR-reduce along K
         return _xor_reduce(prod, axis=-1)
 
@@ -410,28 +418,28 @@ class ReedSolomon:
             if carry:
                 r ^= gf.mul_np(carry, g[1:])
             P[i] = r
-        self.P_log = jnp.asarray(gf.log_np[P.T])        # [2t, K]
-        self.P_nz = jnp.asarray(P.T != 0)
+        self.P_log = np.asarray(gf.log_np[P.T])        # [2t, K]
+        self.P_nz = np.asarray(P.T != 0)
         # syndrome matrix: S_j = sum_p r_p alpha^{(fcr+j)(n-1-p)}, full n=255
         j_idx = np.arange(2 * t)[:, None]
         p_idx = np.arange(255)[None, :]
         Smat = gf.exp_np[((self.fcr + j_idx) * (254 - p_idx)) % 255]
-        self.S_log = jnp.asarray(gf.log_np[Smat])       # [2t, 255]
-        self.S_nz = jnp.asarray(Smat != 0)
+        self.S_log = np.asarray(gf.log_np[Smat])       # [2t, 255]
+        self.S_nz = np.asarray(Smat != 0)
         # Chien matrix: eval at X^{-1} = alpha^{-(n-1-p)} for each position p:
         # V[p] = sum_j Lambda[j] * alpha^{-j(254-p)}
         jj = np.arange(t + 1)[None, :]
         pp = np.arange(255)[:, None]
         Cmat = gf.exp_np[(-jj * (254 - pp)) % 255]
-        self.C_log = jnp.asarray(gf.log_np[Cmat])       # [255, t+1]
-        self.C_nz = jnp.asarray(Cmat != 0)
+        self.C_log = np.asarray(gf.log_np[Cmat])       # [255, t+1]
+        self.C_nz = np.asarray(Cmat != 0)
         # same grid for Omega (degree 2t-1) and Lambda' evaluation
         jo = np.arange(2 * t)[None, :]
         Omat = gf.exp_np[(-jo * (254 - pp)) % 255]
-        self.O_log = jnp.asarray(gf.log_np[Omat])
-        self.O_nz = jnp.asarray(Omat != 0)
+        self.O_log = np.asarray(gf.log_np[Omat])
+        self.O_nz = np.asarray(Omat != 0)
         # X_p = alpha^{254-p} (error locator value per position)
-        self.Xpos = jnp.asarray(gf.exp_np[(254 - pp.ravel()) % 255])
+        self.Xpos = np.asarray(gf.exp_np[(254 - pp.ravel()) % 255])
 
     # ---- encode ----
     def encode(self, data):

@@ -51,3 +51,50 @@ def test_fm_tx_grc_runs(tmp_path):
     data = np.fromfile(out_file, np.complex64)
     assert len(data) > 1000
     np.testing.assert_allclose(np.abs(data[6000:]), 1.0, atol=0.05)  # interp FIR transient
+
+
+def test_legacy_37_xml_converter():
+    """GRC 3.7 XML -> 3.8 YAML dict -> running graph (grc/converter analog)."""
+    xml = """
+<flow_graph>
+  <block><key>options</key>
+    <param><key>id</key><value>legacy_demo</value></param>
+  </block>
+  <block><key>analog_sig_source_x</key>
+    <param><key>id</key><value>src0</value></param>
+    <param><key>type</key><value>complex</value></param>
+    <param><key>samp_rate</key><value>32000</value></param>
+    <param><key>waveform</key><value>analog.GR_COS_WAVE</value></param>
+    <param><key>freq</key><value>1000</value></param>
+    <param><key>amp</key><value>1</value></param>
+    <param><key>offset</key><value>0</value></param>
+  </block>
+  <block><key>blocks_multiply_const_vxx</key>
+    <param><key>id</key><value>mul0</value></param>
+    <param><key>type</key><value>complex</value></param>
+    <param><key>const</key><value>0.5</value></param>
+  </block>
+  <block><key>blocks_null_sink</key>
+    <param><key>id</key><value>snk0</value></param>
+    <param><key>type</key><value>complex</value></param>
+  </block>
+  <connection>
+    <source_block_id>src0</source_block_id><source_key>0</source_key>
+    <sink_block_id>mul0</sink_block_id><sink_key>0</sink_key>
+  </connection>
+  <connection>
+    <source_block_id>mul0</source_block_id><source_key>0</source_key>
+    <sink_block_id>snk0</sink_block_id><sink_key>0</sink_key>
+  </connection>
+</flow_graph>
+"""
+    from gnuradio_tpu.grc_import import load_legacy_grc
+    from gnuradio_tpu.ops.blocks import VectorSink
+    from gnuradio_tpu.core.stream import PortSpec
+    tb, blocks = load_legacy_grc(xml)
+    snk = VectorSink(PortSpec())
+    tb.fg.connect(blocks["mul0"], snk)
+    tb.run(n_steps=2)
+    y = snk.data()
+    assert len(y) > 1000
+    np.testing.assert_allclose(np.abs(y), 0.5, atol=1e-5)
