@@ -582,3 +582,86 @@ class BinStatistics(SinkBlock):
 
 def bin_statistics_f(vlen):
     return BinStatistics(vlen)
+
+
+# ---------------------------------------------------------------------------
+# message-port feedback idiom (closed loops ACROSS blocks)
+# ---------------------------------------------------------------------------
+# The reference forbids stream cycles exactly like this framework does
+# (flowgraph.cc topology checks), and builds cross-block feedback with
+# MESSAGE ports instead (e.g. edit_box/probe -> msg -> setter callbacks).
+# Here the same idiom: a probe sink posts a measurement message each step;
+# a param-fed block consumes it on its message port and applies the update
+# on the NEXT device step — a one-step-delayed closed loop, which is also
+# exactly the latency the reference's async message plane has.
+
+class PowerProbeMsg(SinkBlock):
+    """Posts {"power": mean |x|^2 of the step window} on port 'power' each
+    step (probe_avg_mag_sqrd + message_strobe collapsed)."""
+
+    def __init__(self, dtype=C, name=None):
+        super().__init__(PortSpec(dtype), name)
+        self.message_port_register_out("power")
+        self.level = None
+
+    @property
+    def tap_port(self):
+        return PortSpec(F)
+
+    def tap(self, state, x):
+        v = jnp.abs(x) if jnp.iscomplexobj(x) else x
+        return state, jnp.mean((v * v).astype(jnp.float32))
+
+    def collect(self, value):
+        self.level = float(np.asarray(value))
+        self.post("power", {"power": self.level})
+
+
+def power_probe_msg(dtype=C):
+    return PowerProbeMsg(dtype)
+
+
+class MsgGain(Block):
+    """Gain block whose scalar gain is driven by messages on 'set' —
+    {"power": p} messages steer gain toward reference/sqrt(p) with a
+    first-order loop (rate), {"gain": g} sets it directly. Param-fed: the
+    host feeds the current gain into the jitted step each call, so updates
+    apply on the next step (message-plane latency, see module comment)."""
+
+    param_fed = True
+    param_port = PortSpec(F)
+
+    def __init__(self, gain: float = 1.0, reference: float = 1.0,
+                 rate: float = 0.5, dtype=C, name=None):
+        super().__init__(name)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
+        self._initial = float(gain)
+        self.gain = float(gain)
+        self.reference = float(reference)
+        self.rate = float(rate)
+        self.message_port_register_in("set", self._on_msg)
+
+    def reset_host_state(self):
+        self.gain = self._initial
+
+    def _on_msg(self, msg):
+        if isinstance(msg, dict) and "gain" in msg:
+            self.gain = float(msg["gain"])
+        elif isinstance(msg, dict) and "power" in msg:
+            # the probe sits AFTER the gain: multiplicative correction so
+            # the fixed point is output_power == reference
+            p = max(float(msg["power"]), 1e-20)
+            target = self.gain * (self.reference / p) ** 0.5
+            self.gain += self.rate * (target - self.gain)
+
+    def param_chunk(self, tags_in, n: int) -> np.ndarray:
+        return np.full(1, self.gain, np.float32)
+
+    def apply(self, state, inputs, n_in):
+        x, g = inputs
+        return state, (x * g[0].astype(x.dtype),)
+
+
+def msg_gain(gain=1.0, reference=1.0, rate=0.5, dtype=C):
+    return MsgGain(gain, reference, rate, dtype)

@@ -442,16 +442,39 @@ class ReedSolomon:
         self.Xpos = np.asarray(gf.exp_np[(254 - pp.ravel()) % 255])
 
     # ---- encode ----
+    def _bit_gen_matrix(self):
+        """RS over GF(2^8) is GF(2)-LINEAR in the input bits, so the whole
+        systematic encode is one XOR-matmul: BitGen[(i,b), (j,c)] = bit c of
+        parity byte j for the unit input (byte i = 1<<b). Precomputed once
+        (host numpy); encode then runs as an MXU matmul mod 2 instead of
+        per-byte GF log/exp gathers (16.0 -> ~1 ms for 504 DVB packets)."""
+        if getattr(self, "_BG", None) is None:
+            gf = self.gf
+            # parity_j(unit i value v) = mul(P[i, j], v); P rows via exp/log
+            P = gf.exp_np[self.P_log] * self.P_nz          # [2t, 255-2t]
+            K, t2 = self.k, 2 * self.t
+            # data occupies the LAST k columns of the length-(255-2t) info
+            # block (leading `shorten` columns are zero)
+            cols = self.shorten + np.arange(K)
+            BG = np.zeros((K * 8, t2 * 8), np.float32)
+            for ii, col in enumerate(cols):
+                for b in range(8):
+                    pbytes = gf.mul_np(P[:, col], 1 << b)  # [2t]
+                    bits = ((pbytes[:, None] >> np.arange(8)[None, :]) & 1)
+                    BG[ii * 8 + b] = bits.reshape(-1)
+            self._BG = BG
+        return self._BG
+
     def encode(self, data):
         """data: [..., k] int (0..255) -> [..., n] systematic codeword."""
-        gf = self.gf
         data = data.astype(jnp.int32)
-        if self.shorten:
-            pad = jnp.zeros(data.shape[:-1] + (self.shorten,), jnp.int32)
-            full = jnp.concatenate([pad, data], axis=-1)
-        else:
-            full = data
-        parity = gf.matvec(self.P_log, self.P_nz, full)   # [..., 2t]
+        BG = jnp.asarray(self._bit_gen_matrix())
+        bits = ((data[..., None] >> jnp.arange(8)) & 1).reshape(
+            data.shape[:-1] + (self.k * 8,)).astype(jnp.float32)
+        pb = jnp.dot(bits, BG, precision=jax.lax.Precision.HIGHEST)
+        pbits = (pb.astype(jnp.int32) & 1).reshape(
+            data.shape[:-1] + (2 * self.t, 8))
+        parity = jnp.sum(pbits << jnp.arange(8), axis=-1)
         return jnp.concatenate([data, parity], axis=-1)
 
     # ---- decode ----

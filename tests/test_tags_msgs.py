@@ -158,3 +158,27 @@ def test_message_chain_relay(rng):
     fg.msg_connect(relay, "out", dbg, "store")
     TopBlock(fg).run()
     assert dbg.messages == [{"relayed": "ping"}]
+
+
+def test_message_feedback_loop_converges(rng):
+    """Cross-block feedback via MESSAGE ports (the reference's idiom for
+    closed loops — stream cycles are forbidden in both frameworks): a power
+    probe posts measurements, a msg-driven gain block steers toward unit
+    power with one-step message latency."""
+    from gnuradio_tpu.ops.blocks_extra3 import msg_gain, power_probe_msg
+    n = 64 * 512
+    x = (4.0 * np.exp(2j * np.pi * 0.05 * np.arange(n))).astype(np.complex64)
+    src = blk.vector_source(x)
+    g = msg_gain(gain=1.0, reference=1.0, rate=0.8)
+    probe = power_probe_msg()
+    snk = blk.vector_sink(jnp.complex64)
+    fg = Flowgraph()
+    fg.connect(src, g, snk)
+    fg.connect(g, probe)
+    fg.msg_connect(probe, "power", g, "set")
+    TopBlock(fg, target_items=512).run()
+    y = snk.data()
+    # input power 16; closed loop must converge to |y| ~ 1
+    tail = np.abs(y[-512:])
+    np.testing.assert_allclose(tail, 1.0, atol=0.05)
+    assert abs(np.abs(y[0]) - 4.0) < 1e-5  # first step ran at initial gain
