@@ -140,3 +140,60 @@ class ControlPortClient:
 
     def close(self):
         self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# perf monitor client (gr-perf-monitorx / gr-ctrlport-monitor analog,
+# text mode: poll a ControlPortServer and render the perf counters)
+# ---------------------------------------------------------------------------
+
+def monitor_snapshot(addr: str, port: int) -> dict:
+    """One poll: {knob: value} for every exported property."""
+    c = ControlPortClient(addr, port)
+    try:
+        return c.properties()
+    finally:
+        c.close()
+
+
+def format_monitor(props: dict) -> str:
+    """Render properties grouped by block, perf counters first."""
+    perf = {k: v for k, v in sorted(props.items()) if k.startswith("perf.")}
+    rest = {k: v for k, v in sorted(props.items()) if not k.startswith("perf.")}
+    lines = ["== perf counters =="]
+    for k, v in perf.items():
+        lines.append(f"  {k[5:]:32s} {v}")
+    lines.append("== block knobs ==")
+    last_block = None
+    for k, v in rest.items():
+        b, _, attr = k.partition(".")
+        if b != last_block:
+            lines.append(f" [{b}]")
+            last_block = b
+        lines.append(f"   {attr:30s} {v!r}")
+    return "\n".join(lines)
+
+
+def monitor_main(argv=None):
+    """`python -m gnuradio_tpu.utils.ctrlport HOST PORT [--interval S]
+    [--count N]` — the gr-perf-monitorx text-mode analog."""
+    import argparse
+    import time as _time
+    p = argparse.ArgumentParser(prog="gr-perf-monitor")
+    p.add_argument("host")
+    p.add_argument("port", type=int)
+    p.add_argument("--interval", type=float, default=1.0)
+    p.add_argument("--count", type=int, default=0,
+                   help="number of polls (0 = forever)")
+    a = p.parse_args(argv)
+    i = 0
+    while True:
+        print(format_monitor(monitor_snapshot(a.host, a.port)), flush=True)
+        i += 1
+        if a.count and i >= a.count:
+            return 0
+        _time.sleep(a.interval)
+
+
+if __name__ == "__main__":
+    raise SystemExit(monitor_main())

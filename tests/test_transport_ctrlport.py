@@ -106,3 +106,24 @@ def test_perf_counters_stats(rng):
     assert abs(pc.work_time_avg() - 0.02) < 1e-9
     assert pc.total_items == 300
     assert pc.throughput() > 0
+
+
+def test_perf_monitor_client(rng):
+    """gr-perf-monitorx text-mode analog: snapshot + render."""
+    from gnuradio_tpu.utils.ctrlport import (ControlPortServer,
+                                             format_monitor,
+                                             monitor_snapshot)
+    x = rng.standard_normal(4096).astype(np.float32)
+    src = blk.vector_source(x, dtype=jnp.float32)
+    snk = blk.vector_sink(jnp.float32)
+    tb = TopBlock()
+    tb.connect(src, snk)
+    tb.run()
+    srv = ControlPortServer(tb)
+    try:
+        props = monitor_snapshot("127.0.0.1", srv.port)
+        assert any(k.startswith("perf.") for k in props)
+        text = format_monitor(props)
+        assert "perf counters" in text and "block knobs" in text
+    finally:
+        srv.close()
