@@ -128,7 +128,7 @@ def bench_ofdm_loopback():
     from gnuradio_tpu.ops.ofdm import default_occupied_carriers
     n_occ = len(default_occupied_carriers(64))
     nf = 8
-    B = 256  # bursts per step
+    B = 1024  # bursts per step (amortize the ~0.8 ms dispatch floor)
     rng = np.random.default_rng(0)
     idx = rng.integers(0, 4, (B, nf * n_occ)).astype(np.int32)
 

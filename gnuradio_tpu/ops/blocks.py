@@ -923,3 +923,15 @@ def multiply_const_vcc(k):
     import numpy as _np
     k = _np.asarray(k, _np.complex64)
     return multiply_const(k, C, vlen=len(k))
+
+
+def skiphead(n, dtype=C, vlen=1):
+    return SkipHead(n, PortSpec(dtype, vlen))
+
+
+def rms_ff(alpha=0.0001):
+    return rms(F, alpha)
+
+
+def rms_cf(alpha=0.0001):
+    return rms(C, alpha)

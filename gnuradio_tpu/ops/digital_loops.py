@@ -563,3 +563,44 @@ class MskTimingRecovery(Block):
 
 def msk_timing_recovery_cc(sps, gain=0.05, limit=0.1):
     return MskTimingRecovery(sps, gain, limit)
+
+
+class ConstellationReceiver(SyncBlock):
+    """constellation_receiver_cb: joint carrier tracking + decision
+    (gr-digital/lib/constellation_receiver_cb_impl.cc — a costas-style loop
+    whose phase error comes from the decided constellation point, then the
+    decision index is emitted). Composed here from the CostasLoop recursion
+    with generic nearest-point decisions inside the same scan."""
+
+    def __init__(self, constellation, loop_bw: float, name=None):
+        from ..core.stream import PortSpec as _PS, B as _B, C as _C
+        super().__init__(_PS(_C), _PS(_B), name)
+        self.const = constellation
+        denom = 1.0 + 2.0 * 1.0 * loop_bw + loop_bw * loop_bw
+        self.alpha = 4.0 * 1.0 * loop_bw / denom
+        self.beta = 4.0 * loop_bw * loop_bw / denom
+
+    def init_state(self):
+        return {"phase": jnp.zeros((), jnp.float32),
+                "freq": jnp.zeros((), jnp.float32)}
+
+    def work(self, state, x):
+        pts = jnp.asarray(self.const.points)
+
+        def step(carry, xn):
+            ph, fr = carry
+            y = xn * jnp.exp(-1j * ph).astype(xn.dtype)
+            d = jnp.argmin(jnp.abs(y - pts) ** 2)
+            ref = pts[d]
+            e = jnp.angle(y * jnp.conj(ref)).astype(jnp.float32)
+            fr = jnp.clip(fr + self.beta * e, -1.0, 1.0)
+            ph = ph + fr + self.alpha * e
+            ph = jnp.mod(ph + jnp.pi, 2 * jnp.pi) - jnp.pi
+            return (ph, fr), d.astype(jnp.int8)
+
+        (ph, fr), idx = jax.lax.scan(step, (state["phase"], state["freq"]), x)
+        return {"phase": ph, "freq": fr}, idx
+
+
+def constellation_receiver_cb(constellation, loop_bw=2 * math.pi / 100):
+    return ConstellationReceiver(constellation, loop_bw)

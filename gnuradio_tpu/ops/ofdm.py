@@ -222,3 +222,87 @@ def serialize_carriers(frames, fft_len=FFT_LEN, occupied_carriers=None):
     occ = occupied_carriers or default_occupied_carriers(fft_len)
     occ_idx = jnp.asarray([c % fft_len for c in occ], jnp.int32)
     return frames[:, occ_idx].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# block forms of the TX chain pieces (vlen-vector blocks, GR public names)
+# ---------------------------------------------------------------------------
+from ..core.block import Block  # noqa: E402
+from ..core.stream import PortSpec  # noqa: E402
+
+
+class OfdmCarrierAllocator(Block):
+    """ofdm_carrier_allocator_cvc as a fixed-rate vlen block: n_occ data
+    symbols in per frame -> (fft_len,) frequency frame out with pilots
+    (sync words are per-burst framing — prepend via vector_insert or the
+    burst builders; the reference allocates them from length tags)."""
+
+    def __init__(self, fft_len=FFT_LEN, occupied_carriers=None,
+                 pilot_carriers=DEFAULT_PILOT_CARRIERS,
+                 pilot_symbols=DEFAULT_PILOT_SYMBOLS, name=None):
+        super().__init__(name)
+        occ = occupied_carriers or default_occupied_carriers(fft_len)
+        self.occ_idx = np.asarray([c % fft_len for c in occ], np.int32)
+        self.pil_idx = np.asarray([c % fft_len for c in pilot_carriers],
+                                  np.int32)
+        self.pil = np.asarray(pilot_symbols, np.complex64)
+        self.fft_len = int(fft_len)
+        self.n_occ = len(self.occ_idx)
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C, self.fft_len),)
+
+    @property
+    def in_rates(self):
+        from fractions import Fraction as _Fr
+        return (_Fr(self.n_occ),)
+
+    @property
+    def out_rates(self):
+        from fractions import Fraction as _Fr
+        return (_Fr(1),)
+
+    def apply(self, state, inputs, n_in):
+        d = inputs[0].reshape(-1, self.n_occ)
+        k = d.shape[0]
+        out = jnp.zeros((k, self.fft_len), C)
+        out = out.at[:, jnp.asarray(self.occ_idx)].set(d.astype(C))
+        out = out.at[:, jnp.asarray(self.pil_idx)].set(
+            jnp.asarray(self.pil)[None, :])
+        return state, (out,)
+
+
+def ofdm_carrier_allocator_cvc(fft_len=FFT_LEN, occupied_carriers=None,
+                               pilot_carriers=DEFAULT_PILOT_CARRIERS,
+                               pilot_symbols=DEFAULT_PILOT_SYMBOLS):
+    return OfdmCarrierAllocator(fft_len, occupied_carriers, pilot_carriers,
+                                pilot_symbols)
+
+
+class OfdmCyclicPrefixer(Block):
+    """ofdm_cyclic_prefixer: (fft_len,) time-domain frames in -> serialized
+    samples with the cyclic prefix prepended per frame."""
+
+    def __init__(self, fft_len=FFT_LEN, cp_len=CP_LEN, name=None):
+        super().__init__(name)
+        self.fft_len, self.cp_len = int(fft_len), int(cp_len)
+        self.in_ports = (PortSpec(C, self.fft_len),)
+        self.out_ports = (PortSpec(C),)
+
+    @property
+    def in_rates(self):
+        from fractions import Fraction as _Fr
+        return (_Fr(1),)
+
+    @property
+    def out_rates(self):
+        from fractions import Fraction as _Fr
+        return (_Fr(self.fft_len + self.cp_len),)
+
+    def apply(self, state, inputs, n_in):
+        td = inputs[0]
+        with_cp = jnp.concatenate([td[:, -self.cp_len:], td], axis=1)
+        return state, (with_cp.reshape(-1),)
+
+
+def ofdm_cyclic_prefixer(fft_len=FFT_LEN, cp_len=CP_LEN):
+    return OfdmCyclicPrefixer(fft_len, cp_len)

@@ -19,8 +19,10 @@ The payload modulation around it stays on device.
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..core import pmt
+from ..core.stream import PortSpec, B, F, C
 
 
 # ---------------------------------------------------------------------------
@@ -259,3 +261,53 @@ class CrcCheckPdu(Block):
             self.post("out", pmt.make_pdu(meta, payload))
         else:
             self.n_fail += 1
+
+
+class BurstShaperCC(Block):
+    """burst_shaper_cc as a fixed-frame stream block: per burst of
+    `payload_len` items, prepend `pre_pad` zeros, ramp the first len(up)
+    payload items with `up_taps`, the last len(down) with `down_taps`,
+    append `post_pad` zeros (gr-digital/lib/burst_shaper_impl.cc with the
+    length-tag frame size fixed at compile time — the tagged-stream form
+    lives in the slot discipline, ops/ofdm_streaming)."""
+
+    def __init__(self, up_taps, down_taps, payload_len: int,
+                 pre_pad: int = 0, post_pad: int = 0, name=None):
+        super().__init__(name)
+        from fractions import Fraction as _Fr
+        self.up = np.asarray(up_taps, np.complex64)
+        self.down = np.asarray(down_taps, np.complex64)
+        self.P = int(payload_len)
+        self.pre, self.post = int(pre_pad), int(post_pad)
+        if len(self.up) + len(self.down) > self.P:
+            raise ValueError("ramps longer than the payload")
+        self.in_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(C),)
+        self._in_r = (_Fr(self.P),)
+        self._out_r = (_Fr(self.P + self.pre + self.post),)
+        self.output_multiple = self.P + self.pre + self.post
+
+    @property
+    def in_rates(self):
+        return self._in_r
+
+    @property
+    def out_rates(self):
+        return self._out_r
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0].reshape(-1, self.P)
+        k = x.shape[0]
+        ramp = np.ones(self.P, np.complex64)
+        ramp[: len(self.up)] = self.up
+        if len(self.down):
+            ramp[self.P - len(self.down):] = self.down
+        y = x * jnp.asarray(ramp)[None, :]
+        zpre = jnp.zeros((k, self.pre), y.dtype)
+        zpost = jnp.zeros((k, self.post), y.dtype)
+        out = jnp.concatenate([zpre, y, zpost], axis=1)
+        return state, (out.reshape(-1),)
+
+
+def burst_shaper_cc(up_taps, down_taps, payload_len, pre_pad=0, post_pad=0):
+    return BurstShaperCC(up_taps, down_taps, payload_len, pre_pad, post_pad)
