@@ -25,14 +25,18 @@
 // Plain C ABI (extern "C") for ctypes binding — no pybind11 dependency.
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#include <arpa/inet.h>
 #include <fcntl.h>
+#include <netinet/in.h>
 #include <sys/mman.h>
+#include <sys/socket.h>
 #include <unistd.h>
 
 namespace {
@@ -300,6 +304,94 @@ void iqr_close(IqReader* r) {
     fclose(r->f);
     vmrb_destroy(r->rb);
     delete r;
+}
+
+// ---------------------------------------------------------------------------
+// udp_rx: background UDP datagram receiver -> vm_ringbuf (raw payload bytes).
+// The native analog of gr-network's udp_source (C++ receive thread +
+// buffering in the reference, gr-network/lib/udp_source_impl.cc): datagrams
+// drain into the double-mapped ring regardless of Python/GIL activity;
+// the host runner slices fixed chunks for device_put.
+// ---------------------------------------------------------------------------
+
+struct UdpRx {
+    int sock = -1;
+    VmRingbuf* rb = nullptr;
+    std::thread th;
+    std::atomic<int> stop{0};
+    std::atomic<uint64_t> dropped{0};  // bytes dropped on ring overflow
+};
+
+static void udp_rx_loop(UdpRx* u) {
+    std::vector<uint8_t> pkt(65536);
+    while (!u->stop.load(std::memory_order_relaxed)) {
+        ssize_t n = recv(u->sock, pkt.data(), pkt.size(), 0);
+        if (n <= 0) {
+            if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) continue;
+            if (u->stop.load(std::memory_order_relaxed)) break;
+            continue;
+        }
+        size_t space = u->rb->size -
+            (u->rb->wr.load(std::memory_order_relaxed) -
+             u->rb->rd.load(std::memory_order_acquire));
+        if ((size_t)n > space) {
+            u->dropped.fetch_add((uint64_t)n, std::memory_order_relaxed);
+            continue;  // drop whole datagrams on overflow (UDP semantics)
+        }
+        uint64_t wr = u->rb->wr.load(std::memory_order_relaxed);
+        memcpy(u->rb->base + (wr % u->rb->size), pkt.data(), (size_t)n);
+        u->rb->wr.store(wr + (uint64_t)n, std::memory_order_release);
+    }
+}
+
+UdpRx* udprx_start(const char* bind_addr, int port, size_t ring_bytes) {
+    int sock = socket(AF_INET, SOCK_DGRAM, 0);
+    if (sock < 0) return nullptr;
+    int one = 1;
+    setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    struct timeval tv { 0, 100000 };  // 100 ms poll so stop is responsive
+    setsockopt(sock, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    sockaddr_in addr {};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    addr.sin_addr.s_addr = bind_addr && *bind_addr
+        ? inet_addr(bind_addr) : htonl(INADDR_LOOPBACK);
+    if (bind(sock, (sockaddr*)&addr, sizeof(addr)) != 0) {
+        close(sock);
+        return nullptr;
+    }
+    VmRingbuf* rb = vmrb_create(ring_bytes);
+    if (!rb) {
+        close(sock);
+        return nullptr;
+    }
+    auto* u = new UdpRx();
+    u->sock = sock;
+    u->rb = rb;
+    u->th = std::thread(udp_rx_loop, u);
+    return u;
+}
+
+size_t udprx_available(UdpRx* u) { return vmrb_items_available(u->rb); }
+
+size_t udprx_read(UdpRx* u, uint8_t* out, size_t n) {
+    size_t avail = vmrb_items_available(u->rb);
+    if (n > avail) n = avail;
+    memcpy(out, vmrb_read_ptr(u->rb), n);
+    vmrb_consume(u->rb, n);
+    return n;
+}
+
+uint64_t udprx_dropped(UdpRx* u) {
+    return u->dropped.load(std::memory_order_relaxed);
+}
+
+void udprx_stop(UdpRx* u) {
+    u->stop.store(1);
+    if (u->th.joinable()) u->th.join();
+    close(u->sock);
+    vmrb_destroy(u->rb);
+    delete u;
 }
 
 }  // extern "C"

@@ -72,6 +72,18 @@ def load():
     lib.iqr_finished.restype = ctypes.c_int
     lib.iqr_finished.argtypes = [ctypes.c_void_p]
     lib.iqr_close.argtypes = [ctypes.c_void_p]
+    lib.udprx_start.restype = ctypes.c_void_p
+    lib.udprx_start.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_size_t]
+    lib.udprx_available.restype = ctypes.c_size_t
+    lib.udprx_available.argtypes = [ctypes.c_void_p]
+    lib.udprx_read.restype = ctypes.c_size_t
+    lib.udprx_read.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_size_t]
+    lib.udprx_dropped.restype = ctypes.c_uint64
+    lib.udprx_dropped.argtypes = [ctypes.c_void_p]
+    lib.udprx_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -170,3 +182,35 @@ class IQFileReader:
             self.close()
         except Exception:
             pass
+
+
+class UdpReceiver:
+    """Native threaded UDP receiver: datagrams drain into a double-mapped
+    ring off the GIL (gr-network udp_source native analog); read() slices
+    fixed chunks for the host runner / device_put."""
+
+    def __init__(self, port: int, bind_addr: str = "127.0.0.1",
+                 ring_bytes: int = 1 << 22):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.udprx_start(bind_addr.encode(), int(port),
+                                        int(ring_bytes))
+        if not self._h:
+            raise RuntimeError(f"udprx_start failed on {bind_addr}:{port}")
+
+    def available(self) -> int:
+        return self._lib.udprx_available(self._h)
+
+    def read(self, n: int) -> bytes:
+        buf = (ctypes.c_uint8 * n)()
+        got = self._lib.udprx_read(self._h, buf, n)
+        return bytes(buf[:got])
+
+    def dropped(self) -> int:
+        return int(self._lib.udprx_dropped(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.udprx_stop(self._h)
+            self._h = None

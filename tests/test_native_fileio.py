@@ -107,3 +107,29 @@ def test_meta_file_roundtrip(rng, tmp_path):
     data, meta = fileio.read_meta_file(path)
     np.testing.assert_array_equal(data, x)
     assert meta["rx_rate"] == 1e6 and meta["nitems"] == 1000
+
+
+def test_native_udp_receiver():
+    """Native threaded UDP drain (gr-network udp_source analog): datagrams
+    sent from Python land in the double-mapped ring intact and in order."""
+    import socket
+    import time as _time
+    from gnuradio_tpu.utils.native import UdpReceiver, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rx = UdpReceiver(0 or 47851, ring_bytes=1 << 16)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        payloads = [bytes([i] * (100 + i)) for i in range(5)]
+        for p in payloads:
+            tx.sendto(p, ("127.0.0.1", 47851))
+        want = sum(len(p) for p in payloads)
+        deadline = _time.time() + 5.0
+        while rx.available() < want and _time.time() < deadline:
+            _time.sleep(0.01)
+        got = rx.read(want)
+        assert got == b"".join(payloads)
+        assert rx.dropped() == 0
+    finally:
+        rx.close()
