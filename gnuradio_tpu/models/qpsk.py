@@ -150,14 +150,33 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
         dtau = tau_seq[1:] - tau_seq[:-1]
         dtau = dtau - sps * jnp.round(dtau / sps)
         tau_u = state["tau_prev"] + jnp.cumsum(dtau)      # continuous
-        # -- symbol sampling: positions k*sps + tau(block of k) --
-        ks = jnp.arange(n // sps)
-        b_of_k = jnp.clip(ks * sps // block, 0, nb - 1)
-        pos = ks * sps + tau_u[b_of_k]
-        pos = jnp.clip(pos, 0.0, n - 2.0)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        mu = (pos - i0.astype(jnp.float32)).astype(jnp.complex64)
-        sym = y[i0] * (1 - mu) + y[i0 + 1] * mu           # (n/sps,)
+        # -- symbol sampling at k*sps + tau(block): per-block dynamic_slice
+        # + reshape column picks. A flat y[i0] gather here measured 158 ms
+        # of a 160 ms step (TPU gathers are the trap, see kernels/pfb notes);
+        # the scan of nb light blocks costs ~ms and has NO gathers --
+        spb = block // sps
+        o_b = jnp.floor(tau_u).astype(jnp.int32)
+        frac_b = (tau_u - o_b.astype(jnp.float32)).astype(jnp.complex64)
+        # pad so every block's slice fits without clamping (clamps shift the
+        # edge blocks' sampling grid); PADL/PADR bound |tau| at the edges
+        PADL, PADR = 8, sps + 18
+        yp2 = jnp.concatenate([jnp.zeros(PADL, y.dtype), y,
+                               jnp.zeros(PADR, y.dtype)])
+        seg_len = block + sps + 2
+        starts = jnp.clip(
+            jnp.arange(nb, dtype=jnp.int32) * block + o_b + PADL,
+            0, yp2.shape[0] - seg_len)
+
+        def sample_block(_, inp):
+            start, fr = inp
+            seg = jax.lax.dynamic_slice(yp2, (start,), (seg_len,))
+            cols = seg[: spb * sps + 2]
+            s0 = cols[: spb * sps].reshape(spb, sps)[:, 0]
+            s1 = cols[1: spb * sps + 1].reshape(spb, sps)[:, 0]
+            return 0, s0 * (1 - fr) + s1 * fr
+
+        _, sym_blocks = jax.lax.scan(sample_block, 0, (starts, frac_b))
+        sym = sym_blocks.reshape(-1)                       # (n/sps,)
         # -- V&V carrier per block of symbols --
         spb = block // sps
         nsb = sym.shape[0] // spb
