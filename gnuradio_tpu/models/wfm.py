@@ -146,7 +146,14 @@ def make_wfm_step(samp_rate=1_000_000.0, quad_rate=250_000.0,
     demod = QuadratureDemod(quad_rate / (2 * math.pi * max_dev))
     audio = FirFilter(audio_decim, wfm_taps(quad_rate, audio_rate),
                       in_complex=False)
-    deemph = fm_deemph(audio_rate, tau)
+    # deemphasis one-pole as its truncated impulse response (exact < 1e-9;
+    # ops/iir_core.first_order_fir_taps) — the associative_scan IIR costs
+    # log-depth HBM passes, the FIR is one MXU matmul. The block-graph path
+    # (wfm_rcv_graph) keeps the exact IIR form.
+    from .wfm_sharded import _deemph_coeffs
+    from ..ops.iir_core import first_order_fir_taps
+    b0, b1, r = _deemph_coeffs(audio_rate, tau)
+    deemph = FirFilter(1, first_order_fir_taps(b0, b1, r), in_complex=False)
     blocks = [chan, demod, audio, deemph]
 
     def init_state():
