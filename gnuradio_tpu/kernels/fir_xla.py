@@ -109,7 +109,8 @@ def _pallas_eligible(xp, taps, decim: int) -> bool:
     T = np.asarray(taps).shape[0]
     B = _LANES * max(1, -(-T // (_LANES * decim)))
     n_out = (xp.shape[0] - (T - 1)) // decim
-    return n_out >= 4 * 32 * B  # >= 4 grid steps
+    return n_out >= 16 * 32 * B  # >= 16 grid steps: small shapes
+    # (e.g. the driver's 2^16 compile check) stay on the XLA path
 
 
 def fir_apply(xp, taps, decim: int = 1, prefer_pallas: bool = True):
