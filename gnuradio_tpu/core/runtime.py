@@ -174,6 +174,31 @@ class TopBlock:
             self.state = cg.init_state()
         state = self.state
 
+        # --- fast-path analysis (round-3 composed-path perf): the tag and
+        # message planes are host-side python run per step; when the graph
+        # STATICALLY cannot use them, skip them so consecutive device steps
+        # enqueue back-to-back. Tags can only ever appear if some source
+        # carries stream_tags or some block has a transform hook (a block
+        # that mints tags from data does so via transform_tags*); the
+        # default policies only move existing tags. Likewise the msg plane
+        # is dead without msg edges / msg-only blocks / msg_work overrides.
+        from .block import Block as _BlockBase
+        need_tags = (bool(cg.param_fed)
+                     or any(getattr(b, "stream_tags", None)
+                            or getattr(b, "mints_tags", False)
+                            for b in cg.order)
+                     or any(getattr(b, "transform_tags", None) is not None
+                            or getattr(b, "transform_tags_multi", None)
+                            is not None for b in cg.order))
+        need_msgs = (bool(cg.fg.msg_edges) or bool(cg.msg_only)
+                     or any(type(b).msg_work is not _BlockBase.msg_work
+                            for b in cg.all_blocks()))
+        # Deferred sink fetch: keep per-step taps as device values and
+        # convert in batches — np.asarray per step would synchronize the
+        # pipeline (one tunnel round-trip per step on axon). Disabled when
+        # the msg plane is live (msg_work may read probes mid-run).
+        defer_fetch = not need_msgs
+
         fed_iters = {}
         for b in cg.fed_sources:
             fed_iters[b.name] = b.chunks(cg.n_out[b][0])  # iterator of chunks
@@ -188,9 +213,19 @@ class TopBlock:
             need = max(math.ceil(b.limit / _per_step(b)) for b in limited)
             steps_limit = need if steps_limit is None else min(steps_limit, need)
 
-        tag_engine = _TagEngine(cg)
+        tag_engine = _TagEngine(cg) if need_tags else None
         step_i = 0
         anchor_seen = {b: 0 for b in limited}
+        pending = []                      # deferred device taps per step
+        flush_every = 64                  # bound device-resident backlog
+
+        def _flush():
+            for dev_taps in pending:
+                host = {k: np.asarray(v) for k, v in dev_taps.items()}
+                for sink in cg.sinks:
+                    sink.collect(host_decode(host[sink.name], sink.tap_port))
+            pending.clear()
+
         while steps_limit is None or step_i < steps_limit:
             fed = {}
             exhausted = False
@@ -212,23 +247,36 @@ class TopBlock:
             # advance the host metadata plane FIRST: the tag sideband is
             # host-deterministic, so the window's tags are known before the
             # device step — required for tag-driven param-fed blocks
-            tag_engine.step()
-            for b in cg.param_fed:
-                p = np.asarray(b.param_chunk(tag_engine.window_tags.get(b, []),
-                                             cg.n_in[b][0]))
-                fed[b.name] = host_encode(p)
+            if need_tags:
+                tag_engine.step()
+                for b in cg.param_fed:
+                    p = np.asarray(
+                        b.param_chunk(tag_engine.window_tags.get(b, []),
+                                      cg.n_in[b][0]))
+                    fed[b.name] = host_encode(p)
             with self.perf.measure(items=n_anchor_step):
                 state, taps = cg.step(state, fed)
-                taps = {k: np.asarray(v) for k, v in taps.items()}
-            for sink in cg.sinks:
-                sink.collect(host_decode(taps[sink.name], sink.tap_port))
-            for b in cg.all_blocks():
-                b.msg_work(step_i)
-            _dispatch_messages(cg)
+                if not defer_fetch:
+                    taps = {k: np.asarray(v) for k, v in taps.items()}
+            if defer_fetch:
+                pending.append(taps)
+                if len(pending) >= flush_every:
+                    _flush()
+            else:
+                for sink in cg.sinks:
+                    sink.collect(host_decode(taps[sink.name], sink.tap_port))
+            if need_msgs:
+                for b in cg.all_blocks():
+                    b.msg_work(step_i)
+                _dispatch_messages(cg)
             for b in anchor_seen:
                 anchor_seen[b] += cg.n_in[b][0] if b.nin else cg.n_out[b][0]
             step_i += 1
 
+        if pending:
+            _flush()
+            if need_msgs:           # deferred collects may have posted msgs
+                _dispatch_messages(cg)
         self.state = state
         jax.block_until_ready(jax.tree_util.tree_leaves(state) or [0])
 

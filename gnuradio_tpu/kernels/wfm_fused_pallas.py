@@ -1,0 +1,193 @@
+"""Fused WBFM front end — one Pallas kernel for channel-select FIR + FM
+discriminator (round-3 item #2).
+
+The round-2 chain ran the complex-tap channel FIR as FOUR independent real
+Pallas passes (kernels/fir_pallas.py complex path), then the NCO rotator and
+the quadrature demod as separate XLA ops — every stage re-materializing
+quad-rate intermediates in HBM (~7 ms of the 18.7 ms step). This kernel does
+the whole front end in VMEM with one HBM read of the IQ planes and one write
+of the quad-rate FM samples.
+
+Key algebraic fusion — the rotator vanishes. The freq-xlating filter's
+output rotator multiplies y[k] by r[k] = e^{-j w D k}
+(gr-filter freq_xlating_fir_filter: composite band-shifted taps + output
+phasor; rotator renorm gr-blocks/include/gnuradio/blocks/rotator.h:30-43).
+The ONLY consumer of the rotated stream in the WBFM chain is
+quadrature_demod, which forms z[k] = y'[k] * conj(y'[k-1]). Since
+r[k] conj(r[k-1]) = e^{-j w D} is a CONSTANT,
+
+    z[k] = y[k] conj(y[k-1]) * e^{-j w D}
+
+— the per-sample rotator collapses into one constant complex factor, exact
+(not an approximation), with zero phase-accumulator drift by construction.
+
+Per grid step the kernel:
+  1. streams `hop` new IQ samples (two f32 planes) into VMEM (+ next-block
+     halo, the two-blocks idiom from fir_pallas.py),
+  2. slices R overlapping frames per plane with static VMEM copies,
+  3. runs TWO (R, L2) @ (L2, 4B) MXU dots (real/imag frame x the stacked
+     [cur_r | cur_i | prev_r | prev_i] band-tap matrix) producing y[k] and
+     y[k-1] for all R*B outputs,
+  4. forms z = y conj(y_prev) * e^{-jwD} and the FM discriminator output
+     gain * atan2(im z, re z) on the VPU (polynomial atan2, max err
+     ~2e-7 rad — tighter than the reference's 257-entry fast_atan2f LUT,
+     gnuradio-runtime/lib/math/fast_atan2f.cc:20-25).
+
+Numerics: dots at HIGHEST precision (f32 MXU); QA compares against the
+unfused chain (tests/test_wfm_fused.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_LANES = 128
+_B = 128     # outputs per frame row (MXU lane dim)
+_R = 32      # frame rows per grid step (MXU sublane dim)
+
+# atan(t) = t * P(t^2) on t in [0, 1]: least-squares Chebyshev-node fit,
+# degree 9 in t^2 -> max |err| ~= 2e-7 rad (checked in QA). Host-side
+# numpy, computed once at import.
+def _atan_poly_coeffs(deg: int = 9):
+    k = np.arange(2048)
+    s = (np.cos((2 * k + 1) * np.pi / (2 * len(k))) + 1) / 2  # cheb nodes (0,1)
+    t = np.sqrt(s)
+    f = np.where(t > 0, np.arctan(t) / np.where(t > 0, t, 1.0), 1.0)
+    V = np.vander(s, deg + 1, increasing=True)
+    c, *_ = np.linalg.lstsq(V, f, rcond=None)
+    return c.astype(np.float32)
+
+_ATAN_C = _atan_poly_coeffs()
+
+
+def _atan2(y, x):
+    """Vectorized polynomial atan2 (VPU-only: no transcendental ops)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, 1e-30)
+    s = t * t
+    p = jnp.full_like(t, float(_ATAN_C[-1]))
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + float(c)
+    r = t * p                                   # atan(t), t in [0,1]
+    r = jnp.where(ay > ax, (np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _wfm_kernel(xar, xbr, xai, xbi, w_ref, o_ref, *, R, B, D, L2, gain,
+                c0r, c0i):
+    xr = jnp.concatenate([xar[...].reshape(-1), xbr[...].reshape(-1)])
+    xi = jnp.concatenate([xai[...].reshape(-1), xbi[...].reshape(-1)])
+    Fr = jnp.stack([xr[m * B * D: m * B * D + L2] for m in range(R)])
+    Fi = jnp.stack([xi[m * B * D: m * B * D + L2] for m in range(R)])
+    W = w_ref[...]                              # (L2, 4B): cr | ci | pr | pi
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    Ar = dot(Fr, W)                             # (R, 4B)
+    Ai = dot(Fi, W)
+    # complex FIR with complex taps (tc = wr + j wi), complex data:
+    #   y = (Fr + jFi) * (wr + j wi)
+    ycr = Ar[:, 0 * B:1 * B] - Ai[:, 1 * B:2 * B]
+    yci = Ar[:, 1 * B:2 * B] + Ai[:, 0 * B:1 * B]
+    ypr = Ar[:, 2 * B:3 * B] - Ai[:, 3 * B:4 * B]
+    ypi = Ar[:, 3 * B:4 * B] + Ai[:, 2 * B:3 * B]
+    # z = y * conj(y_prev) * e^{-jwD}
+    zr0 = ycr * ypr + yci * ypi
+    zi0 = yci * ypr - ycr * ypi
+    zr = zr0 * c0r - zi0 * c0i
+    zi = zr0 * c0i + zi0 * c0r
+    o_ref[...] = gain * _atan2(zi, zr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("D", "n_out", "gain", "c0", "R",
+                                    "interpret"))
+def _wfm_front_pallas(xqr, xqi, W, D: int, n_out: int, gain: float,
+                      c0: complex, R: int = _R, interpret: bool = False):
+    """xqr/xqi: (T-1+D + n_in [+pad],) f32 planes with extended history
+    prepended; W: (L2, 4B) stacked band-tap matrix; returns (n_out,) f32
+    FM-discriminated quad-rate samples. n_out % (R*B) == 0 (caller pads)."""
+    L2, B4 = W.shape
+    B = B4 // 4
+    hop = R * B * D
+    steps = n_out // (R * B)
+    need = steps * hop + hop
+    xqr = jnp.pad(xqr, (0, max(0, need - xqr.shape[0])))
+    xqi = jnp.pad(xqi, (0, max(0, need - xqi.shape[0])))
+    x2r = xqr[: steps * hop + hop].reshape(-1, _LANES)
+    x2i = xqi[: steps * hop + hop].reshape(-1, _LANES)
+    rows_per_block = hop // _LANES
+
+    out = pl.pallas_call(
+        functools.partial(_wfm_kernel, R=R, B=B, D=D, L2=L2,
+                          gain=float(gain), c0r=float(np.real(c0)),
+                          c0i=float(np.imag(c0))),
+        out_shape=jax.ShapeDtypeStruct((steps * R, B), jnp.float32),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i + 1, 0)),
+            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i + 1, 0)),
+            pl.BlockSpec((L2, B4), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2r, x2r, x2i, x2i, W)
+    return out.reshape(-1)[:n_out]
+
+
+class WfmFrontFused:
+    """Channel-select complex-tap FIR (decim D) + quadrature demod, fused.
+
+    Matches FreqXlatingFirFilter(D, taps, fc, fs) -> QuadratureDemod(gain)
+    exactly up to f32 rounding (the rotator collapses into e^{-jwD}, see
+    module docstring). Call convention mirrors kernels.fir_xla.fir_apply:
+    the input carries (T-1+D) history samples prepended (zeros at stream
+    start); out[k] corresponds to demod of outputs k and k-1."""
+
+    def __init__(self, taps, center_freq: float, samp_rate: float,
+                 decim: int, gain: float, R: int = _R):
+        base = np.asarray(taps, np.float64)
+        self.T = len(base)
+        self.D = int(decim)
+        w = 2 * np.pi * center_freq / samp_rate
+        ctaps = base * np.exp(1j * w * np.arange(self.T))
+        wr = ctaps[::-1]                       # reversed (conv form)
+        D, T = self.D, self.T
+        B = _B
+        L2 = B * D + T
+        # Wcur[b*D + D + t, b] = w[t]; Wprev[b*D + t, b] = w[t]
+        Wm = np.zeros((L2, 4 * B), np.float32)
+        for b in range(B):
+            Wm[b * D + D: b * D + D + T, 0 * B + b] = wr.real
+            Wm[b * D + D: b * D + D + T, 1 * B + b] = wr.imag
+            Wm[b * D: b * D + T, 2 * B + b] = wr.real
+            Wm[b * D: b * D + T, 3 * B + b] = wr.imag
+        self.W = Wm
+        self.c0 = complex(np.exp(-1j * w * D))
+        self.gain = float(gain)
+        self.R = int(R)   # frame rows per grid step (VMEM vs grid overhead)
+        self.history = self.T - 1 + self.D
+
+    def __call__(self, xq_planes, interpret: bool = False):
+        """xq_planes: (history + n_in, 2) f32 — IQ planes with history
+        prepended. Returns (n_in // D,) f32 demodulated quad-rate stream."""
+        n_in = xq_planes.shape[0] - self.history
+        n_out = n_in // self.D
+        n_pad = -(-n_out // (self.R * _B)) * (self.R * _B)
+        y = _wfm_front_pallas(xq_planes[:, 0], xq_planes[:, 1],
+                              jnp.asarray(self.W), self.D, n_pad, self.gain,
+                              self.c0, self.R, interpret)
+        return y[:n_out]

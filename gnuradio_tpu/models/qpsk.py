@@ -200,6 +200,75 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
     return init_state, step
 
 
+def make_qpsk_rx_tracking_multichannel(nchan: int, sps: int = 4,
+                                       excess_bw: float = 0.35,
+                                       timing_bw: float = 2 * math.pi / 100,
+                                       costas_bw: float = 2 * math.pi / 100):
+    """Closed-loop tracking receiver over N parallel channels — the TPU-first
+    answer to the reference's per-symbol symbol_sync/costas hot loop
+    (gr-digital/lib/symbol_sync_cc_impl.cc:389-470): channels ride the lane
+    axis, one scan step per SYMBOL serves all channels
+    (ops/multichannel_sync.py). The natural producer of the channel axis is
+    the PFB channelizer (models/channelize.py).
+
+    Returns (init_state, step): step(state, x[(n, C) c64]) -> (state,
+    sym_idx[(K, C) int8]) — decided, differentially decoded."""
+    from ..kernels.fir_xla import fir_apply_batched
+    from ..ops.multichannel_sync import MultiChannelTracker
+
+    mf = (rrc_taps(sps, excess_bw) / sps).astype(np.float32)
+    T = len(mf)
+    trk = MultiChannelTracker(nchan, sps, timing_bw, costas_bw)
+
+    def init_state():
+        return {"tail": jnp.zeros((T - 1, nchan), jnp.complex64),
+                "trk": trk.init_state(),
+                "prev_u": jnp.zeros((nchan,), jnp.int8)}
+
+    def step(state, x):
+        xp = jnp.concatenate([state["tail"], x], axis=0)
+        tail = xp[xp.shape[0] - (T - 1):]
+        y = fir_apply_batched(jnp.transpose(xp), jnp.asarray(mf), 1)
+        y = jnp.transpose(y)                       # (n, C) matched-filtered
+        trk_s, z = trk.step(state["trk"], y)       # (K, C) soft symbols
+        ang = jnp.angle(z)
+        u = jnp.floor(ang / (jnp.pi / 2)).astype(jnp.int8) % 4
+        up = jnp.concatenate([state["prev_u"][None], u], axis=0)
+        d = (up[1:] - up[:-1]) % 4                 # differential decode
+        return {"tail": tail, "trk": trk_s, "prev_u": u[-1]}, d.astype(jnp.int8)
+
+    return init_state, step
+
+
+def make_qpsk_rx_tracking_blockparallel(sps: int = 4, nblocks: int = 256,
+                                        overlap_syms: int = 192,
+                                        excess_bw: float = 0.35):
+    """Single-stream tracking-loop receiver at lane-parallel speed: matched
+    filter, then block-parallel Gardner+Costas tracking
+    (ops/multichannel_sync.block_parallel_tracker — feedforward-seeded
+    segments, pi/2 ambiguity stitched in the overlap), then differential
+    decode. Per-call form (stateless across calls: each chunk is
+    self-seeding, like a burst receiver): run(x[(n,) c64]) ->
+    sym_idx[(n//sps,) int8]."""
+    from ..kernels.fir_xla import fir_apply
+    from ..ops.multichannel_sync import block_parallel_tracker
+
+    mf = (rrc_taps(sps, excess_bw) / sps).astype(np.float32)
+    T = len(mf)
+    track = block_parallel_tracker(sps, nblocks, overlap_syms)
+
+    def run(x):
+        xp = jnp.concatenate([jnp.zeros(T - 1, x.dtype), x])
+        y = fir_apply(xp, jnp.asarray(mf), 1)
+        z = track(y)
+        ang = jnp.angle(z)
+        u = jnp.floor(ang / (jnp.pi / 2)).astype(jnp.int32) % 4
+        d = (u[1:] - u[:-1]) % 4
+        return d.astype(jnp.int8)
+
+    return run
+
+
 def ber_after_alignment(rx_sym: np.ndarray, tx_sym: np.ndarray,
                         skip: int = 100, max_lag: int = 64):
     """Search symbol lag + QPSK phase rotation ambiguity; return best BER.

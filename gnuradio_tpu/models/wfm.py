@@ -167,3 +167,53 @@ def make_wfm_step(samp_rate=1_000_000.0, quad_rate=250_000.0,
         return [s0, s1, s2, s3], y
 
     return init_state, step, chan_decim * audio_decim
+
+
+def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
+                        audio_rate=50_000.0, center_freq=0.0,
+                        max_dev=75_000.0, tau=75e-6, interpret=False,
+                        R=32):
+    """Fully fused WBFM receiver: the channel-select FIR + rotator + FM
+    discriminator run as ONE Pallas kernel (kernels/wfm_fused_pallas.py —
+    the rotator collapses algebraically into a constant phasor), followed
+    by the audio FIR and deemphasis-as-truncated-FIR stages.
+
+    Input is PLANES, not complex: step(state, iq[(n, 2) f32]) -> (state,
+    audio[(n/decim,) f32]) — the kernel reads the I/Q planes directly, so
+    no complex-materialization pass exists anywhere in the chain.
+    Numerically equivalent to make_wfm_step (QA: tests/test_wfm_fused.py).
+    """
+    from ..kernels.wfm_fused_pallas import WfmFrontFused
+    from ..kernels.fir_xla import fir_apply
+    from .wfm_sharded import _deemph_coeffs
+    from ..ops.iir_core import first_order_fir_taps
+
+    chan_decim = int(round(samp_rate / quad_rate))
+    audio_decim = int(round(quad_rate / audio_rate))
+    front = WfmFrontFused(channel_taps(samp_rate, quad_rate), center_freq,
+                          samp_rate, chan_decim,
+                          quad_rate / (2 * math.pi * max_dev), R=R)
+    a_taps = np.asarray(wfm_taps(quad_rate, audio_rate), np.float32)
+    T2 = len(a_taps)
+    b0, b1, r = _deemph_coeffs(audio_rate, tau)
+    d_taps = np.asarray(first_order_fir_taps(b0, b1, r), np.float32)
+    T3 = len(d_taps)
+
+    def init_state():
+        return {"front": jnp.zeros((front.history, 2), jnp.float32),
+                "audio": jnp.zeros(T2 - 1, jnp.float32),
+                "deemph": jnp.zeros(T3 - 1, jnp.float32)}
+
+    def step(state, iq_planes):
+        xq = jnp.concatenate([state["front"], iq_planes], axis=0)
+        t0 = xq[xq.shape[0] - front.history:]
+        y = front(xq, interpret=interpret)            # quad-rate FM samples
+        yp = jnp.concatenate([state["audio"], y])
+        t1 = yp[yp.shape[0] - (T2 - 1):]
+        a = fir_apply(yp, jnp.asarray(a_taps), audio_decim)
+        ap = jnp.concatenate([state["deemph"], a])
+        t2 = ap[ap.shape[0] - (T3 - 1):]
+        out = fir_apply(ap, jnp.asarray(d_taps), 1)
+        return {"front": t0, "audio": t1, "deemph": t2}, out
+
+    return init_state, step, chan_decim * audio_decim

@@ -29,6 +29,7 @@ class PduToTaggedStream(SourceBlock):
     sinks are trimmed by head semantics like every fed source."""
 
     is_fed = True
+    mints_tags = True   # stream_tags populated lazily in chunks()
 
     def __init__(self, len_tag_key: str = "packet_len", name=None):
         super().__init__(PortSpec(B), name)
