@@ -3,21 +3,30 @@
 The XLA banded-matmul path (kernels/fir_xla.py) materializes the overlapped
 frame matrix F (M, L) in HBM before the dot: for the WBFM channel filter
 that is ~2.4x the input size written + read back per part. This kernel
-builds the frames IN VMEM instead: each grid step streams `hop` new input
-samples into VMEM (plus the left halo from the neighboring block), slices R
-overlapping frames with static VMEM copies, and runs one (R, L) @ (L, B)
-MXU dot per step. HBM traffic drops to x read (~2x for the halo block) +
-y write.
+keeps everything in VMEM.
 
-Overlap trick: BlockSpec index maps cannot express overlapping windows, so
-the input is passed TWICE with 2-D blocks at consecutive block rows; the
-kernel concatenates them and slices the halo it needs — standard Pallas
-halo idiom.
+Round-3 redesign (replacing the round-2 per-frame-slice idiom): the old
+kernel built R overlapping frames with R separate VMEM copies per grid
+step; the copy-op overhead — not HBM or MXU — dominated (measured
+~5-12 us/step). The overlap structure is instead folded into the TAP
+matrix: with G = input reshaped to (rows, B*D) sample groups (a pure
+retiling, no copy),
 
-Numerics: frames dot taps in f32 with preferred_element_type=f32 on the
-MXU (same contraction as lax.dot_general(precision=HIGHEST) per tile up to
-reassociation); validated against the XLA path in QA (interpret mode) and
-on-chip.
+    y[r, b] = sum_t w[t] x[r*B*D + b*D + t]
+            = sum_{k=0..K} ( G[r+k] @ Wk )[b],   Wk[l, b] = w[k*B*D + l - b*D]
+
+so the whole step is K+1 shifted MXU dots of (R, B*D) @ (B*D, B) over
+reshaped views — no per-frame copies at all. K = ceil(L / (B*D)) - 1 is 1
+for every filter in the tree (B is chosen so B*D >= T).
+
+Halo: each step needs K*B*D samples past its block; they arrive as a
+separate pre-sliced (steps, halo_rows, 128) input (one small XLA gather on
+the host side) instead of re-reading the whole next block, halving HBM
+traffic vs the round-2 two-blocks idiom.
+
+Numerics: dots in f32 with preferred_element_type=f32 at HIGHEST precision
+(true-f32 MXU accumulation); validated against the XLA path in QA
+(interpret mode) and on-chip.
 """
 from __future__ import annotations
 
@@ -27,55 +36,85 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_ROWS = 32  # frames per grid step (MXU sublane utilization vs VMEM size)
+_ROWS = 64  # output rows (frames) per grid step
 
 
-def _fir_kernel(xa_ref, xb_ref, w_ref, o_ref, *, R, B, decim, L, hop):
-    # xa: this step's hop samples (rows, 128); xb: the NEXT block (halo)
-    xflat = jnp.concatenate([xa_ref[...].reshape(-1),
-                             xb_ref[...].reshape(-1)])
-    # frame m = xflat[m*B*decim : m*B*decim + L]
-    F = jnp.stack([xflat[m * B * decim: m * B * decim + L]
-                   for m in range(R)])              # (R, L) VMEM copies
-    o_ref[...] = jax.lax.dot_general(
-        F, w_ref[...],
+def _fir_kernel(xa_ref, xh_ref, w_ref, o_ref, *, R, B, D, Lpad):
+    # overlapped frames as TWO slimmed dots over reshaped group views —
+    # no per-frame slice copies, and the second contraction only spans the
+    # ceil-to-128 tap tail (Mosaic cannot concat the sublane-offset view,
+    # so the split stays explicit)
+    BD = B * D
+    ext = jnp.concatenate([xa_ref[...], xh_ref[0]], axis=0)  # (H+Kh, 128)
+    g = ext.reshape(-1, BD)                       # (R+1, BD)
+    W = w_ref[...]                                # (Lpad, B)
+    dot = functools.partial(
+        jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,   # true-f32 MXU accumulation;
-        preferred_element_type=jnp.float32)    # default bf16 passes lose
-                                               # ~1e-3 rel vs the XLA path
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    acc = dot(g[0:R], W[:BD])
+    E = Lpad - BD
+    if E:
+        acc = acc + dot(g[1:R + 1, :E], W[BD:])
+    o_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("decim", "n_out", "interpret"))
 def _fir_pallas_real(xp, W, decim: int, n_out: int, interpret: bool = False):
-    """xp: (n_in + T - 1,) f32; W: (L, B) banded tap matrix; returns
-    (n_out,) f32. Requires n_out % (R*B) == 0 (caller pads)."""
-    L, B = W.shape
+    """xp: (n_in + T - 1,) f32; W: (Lpad, B) band-tap matrix
+    (Lpad = B*D + ceil128(T - D)); returns (n_out,) f32. Requires
+    n_out % (R*B) == 0 (caller pads)."""
+    Lpad, B = W.shape
+    D = decim
+    BD = B * D
     R = _ROWS
-    hop = R * B * decim
+    hop = R * BD
     steps = n_out // (R * B)
-    # xp padded so every (hop + halo) window is in range; halo block needs
-    # hop more samples past the end
-    need = steps * hop + hop
+    halo = BD                     # one extra sample group
+    need = steps * hop + halo
     xp = jnp.pad(xp, (0, max(0, need - xp.shape[0])))
-    x2 = xp[: steps * hop + hop].reshape(-1, _LANES)  # (rows, 128)
-    rows_per_block = hop // _LANES
+    x2 = xp[: steps * hop].reshape(-1, _LANES)            # (steps*H, 128)
+    Hh = halo // _LANES
+    # halo rows for step i: rows [ (i+1)*H , (i+1)*H + Hh ) of the padded
+    # stream — gathered once on the host-XLA side (small: steps*Hh rows)
+    all_rows = xp[: steps * hop + halo].reshape(-1, _LANES)
+    H = hop // _LANES
+    idx = (jnp.arange(steps)[:, None] * H + H + jnp.arange(Hh)[None, :])
+    xh = all_rows[idx]                                    # (steps, Hh, 128)
 
     out = pl.pallas_call(
-        functools.partial(_fir_kernel, R=R, B=B, decim=decim, L=L, hop=hop),
+        functools.partial(_fir_kernel, R=R, B=B, D=D, Lpad=Lpad),
         out_shape=jax.ShapeDtypeStruct((steps * R, B), jnp.float32),
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i + 1, 0)),
-            pl.BlockSpec((L, B), lambda i: (0, 0)),
+            pl.BlockSpec((H, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, Hh, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Lpad, B), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
         interpret=interpret,
-    )(x2, x2, W)
+    )(x2, xh, W)
     return out.reshape(-1)[:n_out]
+
+
+def _band_matrix(w_rev: np.ndarray, B: int, D: int) -> np.ndarray:
+    """Band-tap matrix W[l, b] = w_rev[l - b*D] (zero outside [0, T)),
+    rows padded to Lpad = B*D + ceil128(max(T - D, 0))."""
+    T = len(w_rev)
+    BD = B * D
+    tail = max(0, T - D)
+    Lpad = BD + ((-(-tail // _LANES)) * _LANES if tail else 0)
+    Lpad = max(Lpad, BD)
+    W = np.zeros((Lpad, B), np.float32)
+    for b in range(B):
+        lo = b * D
+        t1 = min(T, Lpad - lo)
+        if t1 > 0:
+            W[lo: lo + t1, b] = w_rev[:t1]
+    return W
 
 
 def fir_apply_pallas(xp, taps, decim: int = 1, interpret: bool = False):
@@ -86,17 +125,12 @@ def fir_apply_pallas(xp, taps, decim: int = 1, interpret: bool = False):
     n_out = (xp.shape[0] - (T - 1)) // decim
     w = taps[::-1]
     B = _LANES * max(1, -(-T // (_LANES * decim)))
-    L = (B - 1) * decim + T
     x_c = jnp.iscomplexobj(xp)
     t_c = np.iscomplexobj(taps)
     n_pad = -(-n_out // (_ROWS * B)) * (_ROWS * B)
 
     def run_real(v, wr):
-        # band matrix built in pure numpy (taps are concrete; jnp constants
-        # become tracers under an outer jit and break host-side prep)
-        Wm = np.zeros((L, B), np.float32)
-        for b in range(B):
-            Wm[b * decim:b * decim + T, b] = np.asarray(wr, np.float32)
+        Wm = _band_matrix(np.asarray(wr, np.float32), B, decim)
         return _fir_pallas_real(v.astype(jnp.float32), jnp.asarray(Wm),
                                 decim, n_pad, interpret)[:n_out]
 

@@ -82,20 +82,29 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _wfm_kernel(xar, xbr, xai, xbi, w_ref, o_ref, *, R, B, D, L2, gain,
+def _wfm_kernel(xar, xhr, xai, xhi, w_ref, o_ref, *, R, B, D, Lpad, gain,
                 c0r, c0i):
-    xr = jnp.concatenate([xar[...].reshape(-1), xbr[...].reshape(-1)])
-    xi = jnp.concatenate([xai[...].reshape(-1), xbi[...].reshape(-1)])
-    Fr = jnp.stack([xr[m * B * D: m * B * D + L2] for m in range(R)])
-    Fi = jnp.stack([xi[m * B * D: m * B * D + L2] for m in range(R)])
-    W = w_ref[...]                              # (L2, 4B): cr | ci | pr | pi
+    # two slimmed dots per plane over reshaped group views (see
+    # kernels/fir_pallas.py _fir_kernel): no per-frame copies, second
+    # contraction spans only the ceil-to-128 tap tail
+    BD = B * D
+    W = w_ref[...]                   # (Lpad, 4B): cur_r|cur_i|pr_r|pr_i
+    E = Lpad - BD
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    Ar = dot(Fr, W)                             # (R, 4B)
-    Ai = dot(Fi, W)
+
+    def plane(xa, xh):
+        g = jnp.concatenate([xa[...], xh[0]], axis=0).reshape(-1, BD)
+        acc = dot(g[0:R], W[:BD])
+        if E:
+            acc = acc + dot(g[1:R + 1, :E], W[BD:])
+        return acc
+
+    Ar = plane(xar, xhr)                        # (R, 4B)
+    Ai = plane(xai, xhi)
     # complex FIR with complex taps (tc = wr + j wi), complex data:
     #   y = (Fr + jFi) * (wr + j wi)
     ycr = Ar[:, 0 * B:1 * B] - Ai[:, 1 * B:2 * B]
@@ -116,35 +125,44 @@ def _wfm_kernel(xar, xbr, xai, xbi, w_ref, o_ref, *, R, B, D, L2, gain,
 def _wfm_front_pallas(xqr, xqi, W, D: int, n_out: int, gain: float,
                       c0: complex, R: int = _R, interpret: bool = False):
     """xqr/xqi: (T-1+D + n_in [+pad],) f32 planes with extended history
-    prepended; W: (L2, 4B) stacked band-tap matrix; returns (n_out,) f32
+    prepended; W: (Lpad, 4B) stacked band-tap matrix; returns (n_out,) f32
     FM-discriminated quad-rate samples. n_out % (R*B) == 0 (caller pads)."""
-    L2, B4 = W.shape
+    Lpad, B4 = W.shape
     B = B4 // 4
+    BD = B * D
     hop = R * B * D
     steps = n_out // (R * B)
-    need = steps * hop + hop
+    halo = BD
+    need = steps * hop + halo
     xqr = jnp.pad(xqr, (0, max(0, need - xqr.shape[0])))
     xqi = jnp.pad(xqi, (0, max(0, need - xqi.shape[0])))
-    x2r = xqr[: steps * hop + hop].reshape(-1, _LANES)
-    x2i = xqi[: steps * hop + hop].reshape(-1, _LANES)
-    rows_per_block = hop // _LANES
+    H = hop // _LANES
+    Hh = halo // _LANES
+    idx = (jnp.arange(steps)[:, None] * H + H + jnp.arange(Hh)[None, :])
+
+    def prep(v):
+        rows = v[: steps * hop + halo].reshape(-1, _LANES)
+        return rows[: steps * H], rows[idx]
+
+    x2r, xhr = prep(xqr)
+    x2i, xhi = prep(xqi)
 
     out = pl.pallas_call(
-        functools.partial(_wfm_kernel, R=R, B=B, D=D, L2=L2,
+        functools.partial(_wfm_kernel, R=R, B=B, D=D, Lpad=Lpad,
                           gain=float(gain), c0r=float(np.real(c0)),
                           c0i=float(np.imag(c0))),
         out_shape=jax.ShapeDtypeStruct((steps * R, B), jnp.float32),
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i + 1, 0)),
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((rows_per_block, _LANES), lambda i: (i + 1, 0)),
-            pl.BlockSpec((L2, B4), lambda i: (0, 0)),
+            pl.BlockSpec((H, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, Hh, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((H, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, Hh, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Lpad, B4), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
         interpret=interpret,
-    )(x2r, x2r, x2i, x2i, W)
+    )(x2r, xhr, x2i, xhi, W)
     return out.reshape(-1)[:n_out]
 
 
@@ -165,17 +183,26 @@ class WfmFrontFused:
         w = 2 * np.pi * center_freq / samp_rate
         ctaps = base * np.exp(1j * w * np.arange(self.T))
         wr = ctaps[::-1]                       # reversed (conv form)
-        D, T = self.D, self.T
+        D = self.D
         B = _B
-        L2 = B * D + T
-        # Wcur[b*D + D + t, b] = w[t]; Wprev[b*D + t, b] = w[t]
-        Wm = np.zeros((L2, 4 * B), np.float32)
-        for b in range(B):
-            Wm[b * D + D: b * D + D + T, 0 * B + b] = wr.real
-            Wm[b * D + D: b * D + D + T, 1 * B + b] = wr.imag
-            Wm[b * D: b * D + T, 2 * B + b] = wr.real
-            Wm[b * D: b * D + T, 3 * B + b] = wr.imag
-        self.W = Wm
+        from .fir_pallas import _band_matrix
+        # y[k]   = sum_t w[t] xq[kD + D + t]  -> taps shifted D (cur)
+        # y[k-1] = sum_t w[t] xq[kD + t]      -> unshifted (prev)
+        w_cur_r = np.concatenate([np.zeros(D), wr.real])
+        w_cur_i = np.concatenate([np.zeros(D), wr.imag])
+        mats = [_band_matrix(w.astype(np.float32), B, D)
+                for w in (w_cur_r, w_cur_i, wr.real, wr.imag)]
+        Lpad = max(m.shape[0] for m in mats)
+
+        def padl(Wm):
+            if Wm.shape[0] < Lpad:
+                Wm = np.concatenate(
+                    [Wm, np.zeros((Lpad - Wm.shape[0], Wm.shape[1]),
+                                  np.float32)])
+            return Wm
+
+        self.W = np.concatenate([padl(m) for m in mats],
+                                axis=1)          # (Lpad, 4B)
         self.c0 = complex(np.exp(-1j * w * D))
         self.gain = float(gain)
         self.R = int(R)   # frame rows per grid step (VMEM vs grid overhead)

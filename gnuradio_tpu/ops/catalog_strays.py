@@ -70,6 +70,82 @@ def regenerate_bb(period=10, max_regen=500):
     return Regenerate(period, max_regen)
 
 
+class PeakDetector2(Block):
+    """peak_detector2_fb (gr-blocks/lib/peak_detector2_fb_impl.cc): track a
+    one-pole average; when in > avg*(1+threshold_factor_rise), search the
+    next `look_ahead` samples for the max and emit a single 1 there.
+
+    Runs as a per-sample lax.scan (control-rate block, like dpll_bb); the
+    peak mark is scattered after the scan from the recorded window-end
+    events. Deviation from the reference: a search window that straddles a
+    chunk boundary marks its peak clamped into the chunk where the window
+    ENDS (the reference stalls the stream instead); interior events are
+    exact."""
+
+    def __init__(self, threshold_factor_rise: float = 7.0,
+                 look_ahead: int = 1000, alpha: float = 0.001, name=None):
+        super().__init__(name)
+        self.thr = float(threshold_factor_rise)
+        self.look = int(look_ahead)
+        self.alpha = float(alpha)
+        self.in_ports = (PortSpec(F),)
+        self.out_ports = (PortSpec(B), PortSpec(F))
+
+    def init_state(self):
+        return {"avg": jnp.zeros((), jnp.float32),
+                "found": jnp.zeros((), jnp.bool_),
+                "count": jnp.zeros((), jnp.int32),
+                "peak_val": jnp.full((), -3.4e38, jnp.float32),
+                "peak_off": jnp.zeros((), jnp.int32)}
+
+    def apply(self, state, inputs, n_in):
+        x = inputs[0]
+        n = x.shape[0]
+        a = jnp.float32(self.alpha)
+        look = self.look
+
+        def step(c, ix):
+            # faithful per-sample transcription of the C++ work-loop state
+            # machine: the crossing sample is re-presented to the found
+            # branch (the reference consumes only up to it), so its avg
+            # updates TWICE and it opens the look_ahead window
+            i, v = ix
+            avg_nf = a * v + (1 - a) * c["avg"]
+            crossed = (~c["found"]) & (v > avg_nf * (1.0 + self.thr))
+            avg = jnp.where(c["found"], avg_nf,
+                            jnp.where(crossed, a * v + (1 - a) * avg_nf,
+                                      avg_nf))
+            peak_val = jnp.where(crossed, v, c["peak_val"])
+            peak_off = jnp.where(crossed, i, c["peak_off"])
+            better = c["found"] & (v > c["peak_val"])
+            peak_val = jnp.where(better, v, peak_val)
+            peak_off = jnp.where(better, i, peak_off)
+            count = jnp.where(crossed, 1,
+                              jnp.where(c["found"], c["count"] + 1, 0))
+            in_window = c["found"] | crossed
+            done = in_window & (count >= look)
+            mark = jnp.where(done, peak_off, -1)
+            found = in_window & ~done
+            return ({"avg": avg, "found": found, "count": count,
+                     "peak_val": peak_val, "peak_off": peak_off},
+                    (mark, avg))
+
+        carry, (marks, avgs) = jax.lax.scan(
+            step, state, (jnp.arange(n, dtype=jnp.int32), x))
+        out = jnp.zeros(n, jnp.int8)
+        pos = jnp.clip(marks, 0, n - 1)
+        out = out.at[pos].add(jnp.where(marks >= 0, 1, 0).astype(jnp.int8))
+        # window straddling the boundary: carry peak_off relative to the
+        # next chunk start (clamped to 0)
+        carry["peak_off"] = jnp.maximum(carry["peak_off"] - n, 0)
+        return carry, (jnp.clip(out, 0, 1), avgs)
+
+
+def peak_detector2_fb(threshold_factor_rise=7.0, look_ahead=1000,
+                      alpha=0.001):
+    return PeakDetector2(threshold_factor_rise, look_ahead, alpha)
+
+
 # ---------------------------------------------------------------------------
 # soft_dec_lut_gen (host-side utility, numpy — mirrors the reference's
 # Python module; vectorized instead of per-point loops)

@@ -1,0 +1,221 @@
+"""codec2 modes 3200/2400 — native LPC/LSP vocoder replacing the
+reference's external libcodec2 dependency
+(gr-vocoder/lib/codec2_encode_sp_impl.cc / codec2_decode_ps_impl.cc).
+
+Documented substitution (SURVEY.md App. C discipline): the frame RATE
+CONTRACT matches the reference exactly — 160 samples @ 8 kHz per 20 ms
+frame, mode*0.02 bits per frame emitted as unpacked bits (the reference
+blocks' output, qa_codec2_vocoder.py length checks) — but the internal
+quantizer tables are re-derived from the published codec2 algorithm
+description (LPC-10 -> LSP scalar quantization + pitch + energy +
+voicing), NOT bit-compatible with the C library's trained codebooks,
+which are data files we neither ship nor copy. QA: frame-rate contract +
+round-trip spectral fidelity (tests/test_gsm_fr.py).
+
+Bit allocation (this implementation):
+  mode 3200 (64 bits): pitch 7, energy 5, voicing 1, LSP 10 x 5, spare 1
+  mode 2400 (48 bits): pitch 7, energy 5, voicing 1, LSP [4x5, 3x5], spare 0
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_FS = 8000
+_N = 160          # samples / 20 ms frame
+_ORDER = 10
+
+
+def bits_per_frame(mode: int) -> int:
+    return {3200: 64, 2400: 48}[mode]
+
+
+def samples_per_frame(mode: int) -> int:
+    return _N
+
+
+def _lpc(x, order=_ORDER):
+    """Autocorrelation method + Levinson-Durbin; x windowed float."""
+    w = np.hamming(len(x))
+    xw = x * w
+    r = np.array([np.dot(xw[: len(xw) - k], xw[k:]) for k in range(order + 1)])
+    r[0] *= 1.0 + 1e-5          # white-noise correction
+    if r[0] <= 0:
+        return np.zeros(order), 1e-6
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    err = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + np.dot(a[1:i], r[i - 1:0:-1])
+        k = -acc / err
+        a[1:i + 1] = a[1:i + 1] + k * a[i - 1::-1][: i]
+        err *= (1 - k * k)
+        if err <= 0:
+            err = 1e-6
+    return a, err
+
+
+def _lpc_to_lsp(a):
+    """LSP frequencies (rad) of A(z) via the sum/difference polynomials'
+    roots on the unit circle (numerical root finding on cos grid)."""
+    order = len(a) - 1
+    p = np.concatenate([a, [0.0]]) + np.concatenate([[0.0], a[::-1]])
+    q = np.concatenate([a, [0.0]]) - np.concatenate([[0.0], a[::-1]])
+    # deflate known roots: p has root at z=-1, q at z=+1
+    p = np.polynomial.polynomial.polydiv(p[::-1], [1.0, 1.0])[0][::-1]
+    q = np.polynomial.polynomial.polydiv(q[::-1], [-1.0, 1.0])[0][::-1]
+
+    def roots_on_circle(c):
+        r = np.roots(c)
+        ang = np.angle(r)
+        ang = ang[(ang > 1e-6) & (ang < np.pi - 1e-6)]
+        return np.sort(ang)
+
+    lp = roots_on_circle(p)
+    lq = roots_on_circle(q)
+    lsp = np.sort(np.concatenate([lp, lq]))
+    if len(lsp) != order:           # numerical fallback: evenly spaced
+        lsp = np.linspace(0.2, np.pi - 0.2, order)
+    return lsp
+
+
+def _lsp_to_lpc(lsp):
+    order = len(lsp)
+    lp = lsp[0::2]
+    lq = lsp[1::2]
+
+    def poly_from(angles, extra_root):
+        c = np.array([1.0])
+        for th in angles:
+            c = np.convolve(c, [1.0, -2 * math.cos(th), 1.0])
+        c = np.convolve(c, extra_root)
+        return c
+
+    P = poly_from(lp, [1.0, 1.0])
+    Q = poly_from(lq, [1.0, -1.0])
+    a = 0.5 * (P + Q)
+    return a[: order + 1]
+
+
+def _est_pitch(x):
+    """Autocorrelation pitch (50..400 Hz) + voicing strength."""
+    x = x - np.mean(x)
+    e0 = np.dot(x, x) + 1e-9
+    best, bestlag = 0.0, 80
+    for lag in range(20, 161):
+        c = np.dot(x[lag:], x[: len(x) - lag])
+        n = np.dot(x[lag:], x[lag:]) + 1e-9
+        v = c / math.sqrt(e0 * n)
+        if v > best:
+            best, bestlag = v, lag
+    return bestlag, best
+
+
+class Codec2:
+    """Stateful frame codec; encode_bits/decode_bits operate on whole
+    frames (multiples of 160 samples / bits_per_frame bits)."""
+
+    def __init__(self, mode: int = 3200):
+        if mode not in (3200, 2400):
+            raise ValueError("supported codec2 modes here: 3200, 2400")
+        self.mode = mode
+        self.nbits = bits_per_frame(mode)
+        self._lsp_bits = ([5] * 10 if mode == 3200
+                          else [4, 4, 4, 4, 3, 3, 3, 3, 3, 3])
+        self._dec_phase = 0.0
+        self._dec_lsp = np.linspace(0.3, np.pi - 0.3, _ORDER)
+        self._dec_filter = np.zeros(_ORDER)
+        self._rng = np.random.default_rng(0)
+
+    # --- encode ---
+    def encode_frame_bits(self, pcm: np.ndarray) -> np.ndarray:
+        x = pcm.astype(np.float64) / 32768.0
+        a, err = _lpc(x)
+        lsp = _lpc_to_lsp(a)
+        lag, strength = _est_pitch(x)
+        energy = float(np.sqrt(np.mean(x * x) + 1e-12))
+        bits = []
+        # pitch: 7 bits log-spaced over lag 20..160
+        pq = int(round((math.log(lag / 20.0) / math.log(8.0)) * 127))
+        pq = max(0, min(127, pq))
+        bits += [(pq >> i) & 1 for i in range(6, -1, -1)]
+        # energy: 5 bits log over [-60, 0] dB
+        edb = 20 * math.log10(energy + 1e-10)
+        eq = int(round((edb + 60.0) / 60.0 * 31))
+        eq = max(0, min(31, eq))
+        bits += [(eq >> i) & 1 for i in range(4, -1, -1)]
+        bits.append(1 if strength > 0.4 else 0)   # voicing
+        # LSPs: scalar-quantize each in (0, pi)
+        for i, nb in enumerate(self._lsp_bits):
+            q = int(round(lsp[i] / np.pi * ((1 << nb) - 1)))
+            q = max(0, min((1 << nb) - 1, q))
+            bits += [(q >> j) & 1 for j in range(nb - 1, -1, -1)]
+        while len(bits) < self.nbits:
+            bits.append(0)
+        return np.asarray(bits[: self.nbits], np.int8)
+
+    def decode_frame_bits(self, bits: np.ndarray) -> np.ndarray:
+        bits = list(np.asarray(bits, np.int64))
+        pos = [0]
+
+        def get(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | int(bits[pos[0]])
+                pos[0] += 1
+            return v
+
+        pq = get(7)
+        eq = get(5)
+        voiced = get(1)
+        lag = 20.0 * math.exp(pq / 127.0 * math.log(8.0))
+        edb = eq / 31.0 * 60.0 - 60.0
+        energy = 10 ** (edb / 20.0)
+        lsp = np.zeros(_ORDER)
+        for i, nb in enumerate(self._lsp_bits):
+            lsp[i] = get(nb) / ((1 << nb) - 1) * np.pi
+        lsp = np.sort(np.clip(lsp, 0.02, np.pi - 0.02))
+        # enforce minimum separation for stability
+        for i in range(1, _ORDER):
+            lsp[i] = max(lsp[i], lsp[i - 1] + 0.02)
+        a = _lsp_to_lpc(lsp)
+        # excitation: impulse train (voiced) or white noise (unvoiced)
+        exc = np.zeros(_N)
+        if voiced:
+            ph = self._dec_phase
+            w0 = 2 * np.pi / lag
+            for k in range(_N):
+                ph += w0
+                if ph >= 2 * np.pi:
+                    ph -= 2 * np.pi
+                    exc[k] = math.sqrt(lag)
+            self._dec_phase = ph
+        else:
+            exc = self._rng.standard_normal(_N)
+        # LPC synthesis filter 1/A(z)
+        out = np.zeros(_N)
+        mem = self._dec_filter
+        for k in range(_N):
+            v = exc[k] - np.dot(a[1:], mem)
+            out[k] = v
+            mem = np.concatenate([[v], mem[:-1]])
+        self._dec_filter = mem
+        # scale to target energy
+        cur = math.sqrt(np.mean(out * out) + 1e-12)
+        out = out * (energy / cur)
+        return np.clip(out * 32767.0, -32768, 32767).astype(np.int16)
+
+    def encode_bits(self, pcm: np.ndarray) -> np.ndarray:
+        pcm = np.asarray(pcm)
+        assert len(pcm) % _N == 0
+        return np.concatenate(
+            [self.encode_frame_bits(pcm[i: i + _N])
+             for i in range(0, len(pcm), _N)])
+
+    def decode_bits(self, bits: np.ndarray) -> np.ndarray:
+        bits = np.asarray(bits)
+        assert len(bits) % self.nbits == 0
+        return np.concatenate(
+            [self.decode_frame_bits(bits[i: i + self.nbits])
+             for i in range(0, len(bits), self.nbits)])

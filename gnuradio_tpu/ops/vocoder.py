@@ -210,12 +210,82 @@ def _gated(name):
     return factory
 
 
-codec2_encode_sp = _gated("codec2_encode_sp")
-codec2_decode_ps = _gated("codec2_decode_ps")
 freedv_tx_ss = _gated("freedv_tx_ss")
 freedv_rx_ss = _gated("freedv_rx_ss")
-gsm_fr_encode_sp = _gated("gsm_fr_encode_sp")
-gsm_fr_decode_ps = _gated("gsm_fr_decode_ps")
+
+
+# ---------------------------------------------------------------------------
+# GSM 06.10 full rate — native bit-exact implementation (ops/gsm_fr.py,
+# validated against the reference's own round-trip golden vector from
+# gr-vocoder/python/vocoder/qa_gsm_full_rate.py test001) and codec2
+# mode 3200/2400 (ops/codec2_native.py). Speech codecs are inherently
+# scalar/stateful (the reference wraps external C libs); they run host-side
+# through the gateway pure_callback trampoline at audio rate.
+# ---------------------------------------------------------------------------
+
+def _make_host_codec_block(name, in_dtype, out_dtype, n_in, n_out, make_fn):
+    from ..gateway import _GatewayBlock
+
+    class _Codec(_GatewayBlock):
+        def __init__(self):
+            super().__init__(name, in_sig=(in_dtype,), out_sig=(out_dtype,),
+                             decim=n_in, interp=n_out)
+            self._fn = make_fn()
+
+        def work(self, input_items, output_items):
+            out = self._fn(input_items[0])
+            output_items[0][:] = out
+            return len(output_items[0])
+
+    return _Codec()
+
+
+def gsm_fr_encode_sp():
+    """int16 @8kHz -> 33-byte GSM frames (gsm_fr_encode_sp analog)."""
+    def make():
+        from .gsm_fr import GsmFrEncoder
+        enc = GsmFrEncoder()
+        return lambda pcm: np.frombuffer(
+            enc.encode(np.asarray(pcm, np.int16)), np.uint8).view(np.int8)
+    return _make_host_codec_block("gsm_fr_encode_sp", np.int16, np.int8,
+                                  160, 33, make)
+
+
+def gsm_fr_decode_ps():
+    """33-byte GSM frames -> int16 @8kHz (gsm_fr_decode_ps analog)."""
+    def make():
+        from .gsm_fr import GsmFrDecoder
+        dec = GsmFrDecoder()
+        return lambda fr: dec.decode(
+            np.asarray(fr, np.int8).astype(np.uint8).tobytes())
+    return _make_host_codec_block("gsm_fr_decode_ps", np.int8, np.int16,
+                                  33, 160, make)
+
+
+def codec2_encode_sp(mode=3200):
+    """int16 @8kHz -> unpacked bit vectors (codec2_encode_sp analog;
+    bits/frame match the reference's rate contract: mode*0.02)."""
+    from .codec2_native import Codec2, bits_per_frame, samples_per_frame
+    nbits = bits_per_frame(mode)
+    nsamp = samples_per_frame(mode)
+
+    def make():
+        c2 = Codec2(mode)
+        return lambda pcm: c2.encode_bits(np.asarray(pcm, np.int16))
+    return _make_host_codec_block(f"codec2_encode_sp_{mode}", np.int16,
+                                  np.int8, nsamp, nbits, make)
+
+
+def codec2_decode_ps(mode=3200):
+    from .codec2_native import Codec2, bits_per_frame, samples_per_frame
+    nbits = bits_per_frame(mode)
+    nsamp = samples_per_frame(mode)
+
+    def make():
+        c2 = Codec2(mode)
+        return lambda bits: c2.decode_bits(np.asarray(bits, np.int8))
+    return _make_host_codec_block(f"codec2_decode_ps_{mode}", np.int8,
+                                  np.int16, nbits, nsamp, make)
 
 # G.726-family ADPCM implemented natively (ops/adpcm.py) — no external lib
 from .adpcm import (g721_encode_bs, g721_decode_bs,       # noqa: E402,F401

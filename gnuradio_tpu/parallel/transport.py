@@ -166,16 +166,18 @@ class TcpStreamSink(SinkBlock):
         super().__init__(in_port, name)
         self.server = server
         self._offset = 0
-        self._pending_tags = []
+        self._tag_windows = []   # queue: one tag list per collected window
+                                 # (collect_tags may run ahead of collect
+                                 # under the runtime's deferred-fetch path)
 
     def collect_tags(self, tags):
-        self._pending_tags = list(tags)
+        self._tag_windows.append(list(tags))
 
     def collect(self, value):
         arr = np.asarray(value)
-        self.server.send_items(arr, self._offset, self._pending_tags)
+        tags = self._tag_windows.pop(0) if self._tag_windows else []
+        self.server.send_items(arr, self._offset, tags)
         self._offset += arr.shape[0]
-        self._pending_tags = []
 
 
 class TcpStreamSource(SourceBlock):
@@ -184,6 +186,7 @@ class TcpStreamSource(SourceBlock):
     offsets."""
 
     is_fed = True
+    mints_tags = True   # stream_tags arrive from the wire during chunks()
 
     def __init__(self, client: StreamClient, out_port: PortSpec = PortSpec(C),
                  name=None):

@@ -146,3 +146,45 @@ def test_fir_filter_with_buffer(rng):
     st = k.init_state()
     st, yd = jax.jit(lambda s, v: k.filterNdec(s, v, 4))(st, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(yd), ref[::4], rtol=2e-5, atol=2e-5)
+
+
+def _pd2_ref(x, thr, look, alpha):
+    """Literal transcription of peak_detector2_fb_impl.cc as a per-sample
+    machine (the crossing sample is re-presented to the found branch)."""
+    out = np.zeros(len(x), np.int8)
+    avg, found, count = 0.0, False, 0
+    peak_val, peak_off = -np.inf, 0
+    i = 0
+    while i < len(x):
+        v = x[i]
+        if not found:
+            avg = alpha * v + (1 - alpha) * avg
+            if v > avg * (1 + thr):
+                found = True
+                peak_val, peak_off, count = -np.inf, i, 0
+                continue  # re-present this sample to the found branch
+            i += 1
+        else:
+            avg = alpha * v + (1 - alpha) * avg
+            if v > peak_val:
+                peak_val, peak_off = v, i
+            count += 1
+            if count >= look:
+                out[peak_off] = 1
+                found = False
+            i += 1
+    return out
+
+
+def test_peak_detector2_matches_reference(rng):
+    from gnuradio_tpu.ops.catalog_strays import PeakDetector2
+    thr, look, alpha = 2.0, 40, 0.01
+    x = np.abs(rng.standard_normal(4000)).astype(np.float32) * 0.2
+    for p in range(200, 4000, 350):
+        x[p] = 3.0 + rng.random()
+    ref = _pd2_ref(x.astype(np.float64), thr, look, alpha)
+    blk = PeakDetector2(thr, look, alpha)
+    st = blk.init_state()
+    st, (got, avgs) = jax.jit(
+        lambda s, v: blk.apply(s, (v,), None))(st, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got), ref)
