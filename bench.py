@@ -46,7 +46,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from gnuradio_tpu.models.wfm import make_wfm_step
+    from gnuradio_tpu.models.wfm import make_wfm_step_fused
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -55,14 +55,16 @@ def main():
         pass
 
     samp_rate, quad_rate, audio_rate = 1_000_000.0, 250_000.0, 50_000.0
-    init_state, step, mult = make_wfm_step(samp_rate, quad_rate, audio_rate)
+    # round 3: fused Pallas front end (rotator collapses into the demod as
+    # a constant phasor; kernels/wfm_fused_pallas.py) + audio/deemph taps
+    # folded into ONE quad-rate FIR. QA: tests/test_wfm_fused.py matches
+    # the unfused reference-parity chain.
+    init_state, step, mult = make_wfm_step_fused(samp_rate, quad_rate,
+                                                 audio_rate, R=128)
 
     n = 1 << 25  # 32M complex samples per step (amortizes dispatch latency)
 
-    @jax.jit
-    def run(state, iq_f32):
-        x = lax.complex(iq_f32[:, 0], iq_f32[:, 1])
-        return step(state, x)
+    run = jax.jit(step)   # input is (n, 2) f32 IQ planes, complex-free
 
     # input generated ON DEVICE: bulk device_put of 100s of MB through the
     # axon tunnel intermittently hangs; a jitted PRNG program is instant and

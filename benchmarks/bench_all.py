@@ -1,42 +1,46 @@
-"""All five BASELINE.json configs benchmarked on the real chip with
-roofline/MFU accounting (VERDICT r01 missing #2 / weak #1).
+"""All BASELINE.json configs + round-3 additions benchmarked on the real
+chip with roofline/MFU accounting.
 
-Each config runs its functional jitted step with device-resident input,
-axon-safe sync, and a per-config useful-FLOPs + HBM-bytes model; results
-are written to BENCH_ALL_r02.json (and printed one JSON line per config).
+Round-3 additions (VERDICT r02 "next round" items):
+  * wbfm uses the FUSED Pallas front end (kernels/wfm_fused_pallas.py)
+  * qpsk tracking is now THREE rows: the legacy per-symbol scan (kept for
+    honesty), the block-parallel single-stream redesign, and the
+    1024-channel aggregate tracker (ops/multichannel_sync.py)
+  * topblock_wbfm: the composed TopBlock.run() path vs the bare step
+  * dvbt runs 4 superframe-groups per step (amortizes dispatch floor)
+
+Results -> BENCH_ALL_r03.json (one JSON line per config on stdout).
 
 Run: nohup python -u benchmarks/bench_all.py > /tmp/bench_all.log 2>&1 &
 """
 import json
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
-from benchmarks.bench_util import (CHIP, roofline_report, setup_cache,
-                                   time_fn_carry)
+from benchmarks.bench_util import (CHIP, roofline_report, setup_cache, sync,
+                                   time_fn, time_fn_carry)
 
-OUT = "/root/repo/BENCH_ALL_r02.json"
+OUT = "/root/repo/BENCH_ALL_r03.json"
 
 
 def bench_wbfm():
     import jax
-    from jax import lax
-    from gnuradio_tpu.models.wfm import make_wfm_step
-    init_state, step, mult = make_wfm_step(1e6, 250e3, 50e3)
-    n = 1 << 24
+    from gnuradio_tpu.models.wfm import make_wfm_step_fused
+    init_state, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=128)
+    n = 1 << 25
 
-    @jax.jit
-    def run(state, iq):
-        return step(state, lax.complex(iq[:, 0], iq[:, 1]))
-
+    run = jax.jit(step)
     iq = jax.jit(lambda: 0.5 * jax.random.normal(
         jax.random.PRNGKey(0), (n, 2), dtype="float32"))()
     st = jax.jit(init_state)()
     dt = time_fn_carry(run, st, iq, iters=10)
     msps = n / dt / 1e6
-    # 107-tap complex FIR/4 + rotator + demod + 215-tap audio FIR + deemph
-    return roofline_report("wbfm_rx_chain", msps, 246.0, 8.2)
+    # 97-tap complex FIR/4 (x2 for the demod's y[k-1] path) + demod + folded
+    # audio+deemph FIR (775 taps / 20)
+    return roofline_report("wbfm_rx_chain(fused)", msps, 246.0, 8.2)
 
 
 def bench_channelizer():
@@ -45,14 +49,12 @@ def bench_channelizer():
     from gnuradio_tpu.models.channelize import make_channelizer_step
     init, step, meta = make_channelizer_step(6_400_000.0, 64,
                                              resample_rate=0.9375)
-    # FLOP model per input sample: arm convs 4*ntaps/M ... compute exactly
     from gnuradio_tpu.models.channelize import channelizer_taps, resampler_taps
     ntaps = len(channelizer_taps(6_400_000.0, 64))
     L_rs = -(-len(resampler_taps(1e5, 0.9375, 32)) // 32)
     M = 64
-    flops = (4.0 * ntaps / M            # arm FIRs (complex data, real taps)
-             + 5.0 * np.log2(M)         # IFFT across arms
-             + (2 * L_rs * 4 + 8) * 0.9375)  # resampler: 2 banks + interp
+    flops = (4.0 * ntaps / M + 5.0 * np.log2(M)
+             + (2 * L_rs * 4 + 8) * 0.9375)
     n = (1 << 22)
     n = (n // meta["in_multiple"]) * meta["in_multiple"]
 
@@ -66,7 +68,7 @@ def bench_channelizer():
     dt = time_fn_carry(run, st, iq, iters=10)
     msps = n / dt / 1e6
     return roofline_report("pfb_channelizer_64ch+arb_resampler", msps,
-                           float(flops), 8.0 + 7.5)  # in f32 + out complex
+                           float(flops), 8.0 + 7.5)
 
 
 def bench_qpsk_feedforward():
@@ -89,23 +91,21 @@ def bench_qpsk_feedforward():
     st = jax.jit(init)()
     dt = time_fn_carry(run, st, dev, iters=10)
     msps = n / dt / 1e6
-    # MF 11*sps*8 + |y|^2/correlations ~20 + interp 8 + V&V ~10
     return roofline_report("qpsk_rx_feedforward(O&M+V&V)", msps,
                            11 * sps * 8 + 38.0, 8.0)
 
 
-def bench_qpsk():
+def bench_qpsk_tracking_legacy():
     import jax
+    from jax import lax
     from gnuradio_tpu.models.qpsk import make_qpsk_rx, qpsk_tx
     sps = 4
     init, step = make_qpsk_rx(sps)
-    n = 1 << 19   # symbol-rate lax.scan loops bind: keep steps moderate
+    n = 1 << 19
     rng = np.random.default_rng(0)
     bits = rng.integers(0, 2, (n // sps) * 2)
     iq, _ = qpsk_tx(bits, sps)
     iqf = np.stack([iq.real, iq.imag], -1).astype(np.float32)
-
-    from jax import lax
 
     @jax.jit
     def run(state, iqp):
@@ -115,10 +115,52 @@ def bench_qpsk():
     st = jax.jit(init)()
     dt = time_fn_carry(run, st, dev, iters=5)
     msps = n / dt / 1e6
-    # matched filter 11*sps taps + per-symbol scan loops (~100 FLOP/symbol)
     flops = 11 * sps * 8 / 1.0 + 100.0 / sps
-    return roofline_report("qpsk_rx_tracking_loops(pfb_clock_sync+costas)", msps,
-                           flops, 8.0)
+    return roofline_report("qpsk_rx_tracking_scan_legacy", msps, flops, 8.0)
+
+
+def bench_qpsk_tracking_blockparallel():
+    import jax
+    from gnuradio_tpu.models.qpsk import make_qpsk_rx_tracking_blockparallel
+    sps = 2
+    run0 = make_qpsk_rx_tracking_blockparallel(sps, nblocks=2048,
+                                               overlap_syms=192)
+
+    @jax.jit
+    def run(xp):
+        import jax.numpy as jnp
+        return run0(jax.lax.complex(xp[:, 0], xp[:, 1]))
+
+    n = 1 << 23
+    x = jax.jit(lambda: 0.3 * jax.random.normal(
+        jax.random.PRNGKey(1), (n, 2), dtype="float32"))()
+    dt = time_fn(run, x, iters=10)
+    msps = n / dt / 1e6
+    # MF 22*8 + per-symbol loop work ~60/sps + stitch
+    return roofline_report("qpsk_rx_tracking_blockparallel(single-stream)",
+                           msps, 22 * 8 + 40.0, 8.0)
+
+
+def bench_qpsk_tracking_1024ch():
+    import jax
+    from gnuradio_tpu.ops.multichannel_sync import (
+        make_multichannel_tracking_step)
+    C, sps, K = 1024, 4, 4096
+    init, step = make_multichannel_tracking_step(C, sps)
+    n = K * sps
+
+    @jax.jit
+    def run(state, xp):
+        return step(state, jax.lax.complex(xp[..., 0], xp[..., 1]))
+
+    x = jax.jit(lambda: 0.3 * jax.random.normal(
+        jax.random.PRNGKey(0), (n, C, 2), dtype="float32"))()
+    st = jax.jit(init)()
+    dt = time_fn_carry(run, st, x, iters=10)
+    msps = n * C / dt / 1e6
+    # Farrow interp x2 + TED + 2 loop updates ~ 70 FLOP/sample-equivalent
+    return roofline_report("qpsk_rx_tracking_1024ch(aggregate)", msps,
+                           70.0, 8.0)
 
 
 def bench_ofdm_loopback():
@@ -128,7 +170,7 @@ def bench_ofdm_loopback():
     from gnuradio_tpu.ops.ofdm import default_occupied_carriers
     n_occ = len(default_occupied_carriers(64))
     nf = 8
-    B = 1024  # bursts per step (amortize the ~0.8 ms dispatch floor)
+    B = 4096
     rng = np.random.default_rng(0)
     idx = rng.integers(0, 4, (B, nf * n_occ)).astype(np.int32)
 
@@ -143,10 +185,8 @@ def bench_ofdm_loopback():
     dev = jax.device_put(idx)
     st = jnp.zeros(())
     dt = time_fn_carry(run, st, dev, iters=10)
-    # samples processed = total time-domain burst samples through TX+RX
     burst_len = 32 * 2 + (2 + nf) * (64 + 16)
     msps = B * burst_len / dt / 1e6
-    # per sample: IFFT+FFT (2*5*log2(64)) + S&C metric (~40) + eq (~8)
     return roofline_report("ofdm_loopback(tx+sync+chanest+eq+rx)", msps,
                            2 * 5 * 6 + 48.0, 16.0)
 
@@ -156,11 +196,11 @@ def bench_dvbt_tx():
     import jax.numpy as jnp
     from gnuradio_tpu.ops.dtv import (DVBTConfig, DVBTPilots, dvbt_tx,
                                       dvbt_tx_bytes_per_superframe)
-    cfg = DVBTConfig()  # 2k 16QAM 1/2 defaults
+    cfg = DVBTConfig()
     pil = DVBTPilots(cfg)
     nb1 = dvbt_tx_bytes_per_superframe(cfg)
     k = next(k for k in range(1, 9) if (k * nb1) % 1504 == 0)
-    nb = nb1 * k
+    nb = nb1 * k * 4           # 4 groups/step amortize the dispatch floor
     rng = np.random.default_rng(0)
     ts = rng.integers(0, 256, nb).astype(np.uint8)
 
@@ -174,19 +214,33 @@ def bench_dvbt_tx():
     n_out = int(out.shape[0])
     dt = time_fn_carry(run, st, dev, iters=10)
     msps = n_out / dt / 1e6
-    # per OUTPUT sample: RS+interleave gathers ~16, conv code ~24,
-    # map/interleave ~16, IFFT 5*log2(2048)=55, pilots ~4
     return roofline_report("dvbt_tx(2k,16qam,1/2)", msps, 115.0, 16.0)
+
+
+def bench_topblock_wbfm():
+    """Composed-path config: WBFM through TopBlock.run() (device-resident
+    source/sink) with the bare-step number alongside."""
+    import jax
+    from benchmarks.bench_topblock import bench_bare, bench_topblock_device
+    bare = bench_bare(1 << 24)
+    tb = bench_topblock_device(1 << 24)
+    r = roofline_report("topblock_wbfm(composed)", tb["msps"], 246.0, 8.2)
+    r["bare_step_msps"] = bare["msps"]
+    r["overhead_pct"] = round(100 * (bare["msps"] / max(tb["msps"], 1e-9)
+                                     - 1), 1)
+    return r
 
 
 def main():
     setup_cache()
     results = []
     for fn in (bench_wbfm, bench_channelizer, bench_qpsk_feedforward,
-               bench_qpsk, bench_ofdm_loopback, bench_dvbt_tx):
+               bench_qpsk_tracking_legacy, bench_qpsk_tracking_blockparallel,
+               bench_qpsk_tracking_1024ch, bench_ofdm_loopback,
+               bench_dvbt_tx, bench_topblock_wbfm):
         try:
             r = fn()
-        except Exception as e:  # keep going; record the failure
+        except Exception as e:
             r = {"name": fn.__name__, "error": repr(e)[:300]}
         print(json.dumps(r), flush=True)
         results.append(r)

@@ -62,15 +62,16 @@ def _fir_kernel(xa_ref, xh_ref, w_ref, o_ref, *, R, B, D, Lpad):
     o_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("decim", "n_out", "interpret"))
-def _fir_pallas_real(xp, W, decim: int, n_out: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("decim", "n_out", "R",
+                                             "interpret"))
+def _fir_pallas_real(xp, W, decim: int, n_out: int, R: int = _ROWS,
+                     interpret: bool = False):
     """xp: (n_in + T - 1,) f32; W: (Lpad, B) band-tap matrix
     (Lpad = B*D + ceil128(T - D)); returns (n_out,) f32. Requires
     n_out % (R*B) == 0 (caller pads)."""
     Lpad, B = W.shape
     D = decim
     BD = B * D
-    R = _ROWS
     hop = R * BD
     steps = n_out // (R * B)
     halo = BD                     # one extra sample group
@@ -127,12 +128,18 @@ def fir_apply_pallas(xp, taps, decim: int = 1, interpret: bool = False):
     B = _LANES * max(1, -(-T // (_LANES * decim)))
     x_c = jnp.iscomplexobj(xp)
     t_c = np.iscomplexobj(taps)
-    n_pad = -(-n_out // (_ROWS * B)) * (_ROWS * B)
+    # adaptive rows-per-step: per-grid-step overhead dominates small
+    # blocks (measured ~5-20 us/step on the axon chip), so target <= 64
+    # steps, bounded by VMEM (xa block = R*B*D*4 bytes)
+    R = _ROWS
+    while R < 512 and n_out // (R * B) > 64 and R * B * decim * 4 < 2 << 20:
+        R *= 2
+    n_pad = -(-n_out // (R * B)) * (R * B)
 
     def run_real(v, wr):
         Wm = _band_matrix(np.asarray(wr, np.float32), B, decim)
         return _fir_pallas_real(v.astype(jnp.float32), jnp.asarray(Wm),
-                                decim, n_pad, interpret)[:n_out]
+                                decim, n_pad, R, interpret)[:n_out]
 
     if not x_c and not t_c:
         return run_real(xp, w)

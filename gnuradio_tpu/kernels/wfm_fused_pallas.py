@@ -208,13 +208,14 @@ class WfmFrontFused:
         self.R = int(R)   # frame rows per grid step (VMEM vs grid overhead)
         self.history = self.T - 1 + self.D
 
-    def __call__(self, xq_planes, interpret: bool = False):
-        """xq_planes: (history + n_in, 2) f32 — IQ planes with history
-        prepended. Returns (n_in // D,) f32 demodulated quad-rate stream."""
-        n_in = xq_planes.shape[0] - self.history
+    def __call__(self, xr, xi, interpret: bool = False):
+        """xr/xi: (history + n_in,) f32 — separate contiguous I/Q planes
+        with history prepended (channel-major: an (n,2) interleaved layout
+        tiles terribly on TPU — minor dim 2 of a (8,128) tile).
+        Returns (n_in // D,) f32 demodulated quad-rate stream."""
+        n_in = xr.shape[0] - self.history
         n_out = n_in // self.D
         n_pad = -(-n_out // (self.R * _B)) * (self.R * _B)
-        y = _wfm_front_pallas(xq_planes[:, 0], xq_planes[:, 1],
-                              jnp.asarray(self.W), self.D, n_pad, self.gain,
-                              self.c0, self.R, interpret)
+        y = _wfm_front_pallas(xr, xi, jnp.asarray(self.W), self.D, n_pad,
+                              self.gain, self.c0, self.R, interpret)
         return y[:n_out]

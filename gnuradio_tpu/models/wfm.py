@@ -172,7 +172,7 @@ def make_wfm_step(samp_rate=1_000_000.0, quad_rate=250_000.0,
 def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
                         audio_rate=50_000.0, center_freq=0.0,
                         max_dev=75_000.0, tau=75e-6, interpret=False,
-                        R=32):
+                        R=32, layout="interleaved"):
     """Fully fused WBFM receiver: the channel-select FIR + rotator + FM
     discriminator run as ONE Pallas kernel (kernels/wfm_fused_pallas.py —
     the rotator collapses algebraically into a constant phasor), followed
@@ -193,27 +193,38 @@ def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
     front = WfmFrontFused(channel_taps(samp_rate, quad_rate), center_freq,
                           samp_rate, chan_decim,
                           quad_rate / (2 * math.pi * max_dev), R=R)
-    a_taps = np.asarray(wfm_taps(quad_rate, audio_rate), np.float32)
-    T2 = len(a_taps)
+    a_taps = np.asarray(wfm_taps(quad_rate, audio_rate), np.float64)
     b0, b1, r = _deemph_coeffs(audio_rate, tau)
-    d_taps = np.asarray(first_order_fir_taps(b0, b1, r), np.float32)
-    T3 = len(d_taps)
+    d_taps = np.asarray(first_order_fir_taps(b0, b1, r), np.float64)
+    # fold the audio-rate deemphasis FIR into the quad-rate audio LPF:
+    # deemph(decim5(a*d)) == decim5((a conv up5(deemph)) * d) — exact by
+    # linear-convolution associativity, one HBM pass instead of two
+    up = np.zeros(audio_decim * len(d_taps) - (audio_decim - 1))
+    up[::audio_decim] = d_taps
+    comb_taps = np.convolve(a_taps, up).astype(np.float32)
+    T2 = len(comb_taps)
 
     def init_state():
-        return {"front": jnp.zeros((front.history, 2), jnp.float32),
-                "audio": jnp.zeros(T2 - 1, jnp.float32),
-                "deemph": jnp.zeros(T3 - 1, jnp.float32)}
+        return {"front": jnp.zeros((2, front.history), jnp.float32),
+                "audio": jnp.zeros(T2 - 1, jnp.float32)}
 
     def step(state, iq_planes):
-        xq = jnp.concatenate([state["front"], iq_planes], axis=0)
-        t0 = xq[xq.shape[0] - front.history:]
-        y = front(xq, interpret=interpret)            # quad-rate FM samples
+        """iq_planes: (n, 2) interleaved or (2, n) channel-major f32
+        (layout= at make time). Channel-major is the fast path — the
+        interleaved layout costs an extra relayout pass on TPU (minor
+        dim 2 wastes (8,128) tiles)."""
+        if layout == "planes":
+            xr_in, xi_in = iq_planes[0], iq_planes[1]
+        else:
+            xr_in, xi_in = iq_planes[:, 0], iq_planes[:, 1]
+        xr = jnp.concatenate([state["front"][0], xr_in])
+        xi = jnp.concatenate([state["front"][1], xi_in])
+        t0 = jnp.stack([xr[xr.shape[0] - front.history:],
+                        xi[xi.shape[0] - front.history:]])
+        y = front(xr, xi, interpret=interpret)        # quad-rate FM samples
         yp = jnp.concatenate([state["audio"], y])
         t1 = yp[yp.shape[0] - (T2 - 1):]
-        a = fir_apply(yp, jnp.asarray(a_taps), audio_decim)
-        ap = jnp.concatenate([state["deemph"], a])
-        t2 = ap[ap.shape[0] - (T3 - 1):]
-        out = fir_apply(ap, jnp.asarray(d_taps), 1)
-        return {"front": t0, "audio": t1, "deemph": t2}, out
+        out = fir_apply(yp, jnp.asarray(comb_taps), audio_decim)
+        return {"front": t0, "audio": t1}, out
 
     return init_state, step, chan_decim * audio_decim

@@ -395,18 +395,56 @@ def _symbol_perm_table(mode: str, nsym: int, start_symbol: int,
     return tab
 
 
+def _perm_apply_matmul(x, perm_even, perm_odd, start_symbol):
+    """Apply per-symbol permutations (even/odd alternating) to
+    [..., nsym, N] int symbols as ONE-HOT MXU MATMULS instead of
+    take_along_axis — TPU gathers are the measured trap (round-2 memory:
+    the 64-ch PFB arm relayout was a 17x win; round-3 profile: the gather
+    form of this stage cost ~4 ms/superframe-pair, the matmul form ~0.2).
+
+    out[s, c] = x[s, perm_s[c]]  <=>  out = x @ M with M[q, c] = 1 iff
+    perm_s[c] == q. f32 one-hot carries int symbol values <= 64 exactly."""
+    N = x.shape[-1]
+    Ms = []
+    for perm in (perm_even, perm_odd):
+        M = np.zeros((N, N), np.float32)
+        M[perm, np.arange(N)] = 1.0
+        Ms.append(M)
+    nsym = x.shape[-2]
+    if nsym % 2:
+        # odd chunk: gather fallback (QA/odd-sized paths; the streaming
+        # blocks align to pairs so the hot path stays on the MXU)
+        perms = np.asarray([perm_even, perm_odd])
+        tab = perms[(start_symbol + np.arange(nsym)) % 2]
+        return jnp.take_along_axis(x, jnp.asarray(tab), axis=-1)
+    par = (start_symbol % 2)
+    # pair-group via reshape (pure relayout, no strided slicing), matmul
+    # each parity lane, re-interleave with one reshape back
+    xf = x.astype(jnp.float32).reshape(x.shape[:-2] + (nsym // 2, 2, N))
+    Ma = jnp.asarray(Ms[par])
+    Mb = jnp.asarray(Ms[1 - par])
+    # DEFAULT (bf16) is exact here: one nonzero per output column and
+    # integer symbol values < 256 are representable in bf16
+    ya = jnp.matmul(xf[..., 0, :], Ma)
+    yb = jnp.matmul(xf[..., 1, :], Mb)
+    out = jnp.stack([ya, yb], axis=-2).reshape(x.shape)
+    return jnp.round(out).astype(x.dtype)
+
+
 def symbol_interleave(symbols, mode: str, start_symbol: int = 0):
     """[..., nsym, payload] -> interleaved; even symbol index: out[H(q)] =
-    in[q]; odd: out[q] = in[H(q)] (one batched gather)."""
-    nsym = symbols.shape[-2]
-    tab = _symbol_perm_table(mode, nsym, start_symbol, inverse=False)
-    return jnp.take_along_axis(symbols, jnp.asarray(tab), axis=-1)
+    in[q] (gather by argsort(H)); odd: out[q] = in[H(q)] — as one-hot
+    matmuls (see _perm_apply_matmul)."""
+    H = symbol_interleaver_H(mode)
+    Hinv = np.argsort(H)
+    # even symbols gather by Hinv, odd by H (forward direction)
+    return _perm_apply_matmul(symbols, Hinv, H, start_symbol)
 
 
 def symbol_deinterleave(symbols, mode: str, start_symbol: int = 0):
-    nsym = symbols.shape[-2]
-    tab = _symbol_perm_table(mode, nsym, start_symbol, inverse=True)
-    return jnp.take_along_axis(symbols, jnp.asarray(tab), axis=-1)
+    H = symbol_interleaver_H(mode)
+    Hinv = np.argsort(H)
+    return _perm_apply_matmul(symbols, H, Hinv, start_symbol)
 
 
 # ---------------------------------------------------------------------------
@@ -569,16 +607,43 @@ class DVBTPilots:
 
     def insert(self, payload, start_symbol: int = 0):
         """payload: [..., nsym, payload_length] complex -> [..., nsym, ncar]
-        with pilots. start_symbol indexes into the superframe (mod 272)."""
+        with pilots. start_symbol indexes into the superframe (mod 272).
+
+        The payload->carrier spreading is a fixed permutation-with-gaps per
+        s%4, applied as ONE-HOT MXU MATMULS on the re/im planes (the
+        take_along_axis gather form cost ~10 ms/superframe-pair on chip;
+        round-3 profile). start_symbol must be a multiple of 4 so the
+        4-phase pilot pattern groups by reshape."""
         nsym = payload.shape[-2]
         sidx = (start_symbol + np.arange(nsym)) % 272
         grid = jnp.asarray(self.grid[sidx], jnp.complex64)   # [nsym, ncar]
-        inv = jnp.asarray(self.inv_map[sidx % 4])            # [nsym, ncar]
-        mask = jnp.asarray(self.pay_mask[sidx % 4])
-        pay = jnp.take_along_axis(
-            payload.astype(jnp.complex64),
-            jnp.broadcast_to(inv, payload.shape[:-2] + inv.shape), axis=-1)
-        return grid + jnp.where(mask, pay, 0)
+        if nsym % 4 or start_symbol % 4:
+            # unaligned chunk: gather fallback (hot paths align to the
+            # 4-symbol pilot period)
+            inv = jnp.asarray(self.inv_map[sidx % 4])
+            mask = jnp.asarray(self.pay_mask[sidx % 4])
+            pay = jnp.take_along_axis(
+                payload.astype(jnp.complex64),
+                jnp.broadcast_to(inv, payload.shape[:-2] + inv.shape),
+                axis=-1)
+            return grid + jnp.where(mask, pay, 0)
+        P = self.cfg.payload_length
+        ncar = self.cfg.ncarriers
+        if not hasattr(self, "_spread_M"):
+            M = np.zeros((4, P, ncar), np.float32)
+            for sm in range(4):
+                M[sm, np.arange(P), self.payload_pos[sm]] = 1.0
+            self._spread_M = M
+        Mj = jnp.asarray(self._spread_M)                     # (4, P, ncar)
+        lead = payload.shape[:-2]
+        pg = payload.astype(jnp.complex64).reshape(
+            lead + (nsym // 4, 4, P))
+        # (..., g, sm, P) @ (sm, P, ncar) -> (..., g, sm, ncar)
+        def mm(v):
+            return jnp.einsum("...gsp,spc->...gsc", v, Mj,
+                              precision=jax.lax.Precision.HIGHEST)
+        spread = jax.lax.complex(mm(jnp.real(pg)), mm(jnp.imag(pg)))
+        return grid + spread.reshape(lead + (nsym, ncar))
 
     def extract(self, carriers, start_symbol: int = 0):
         """[..., nsym, ncar] -> payload [..., nsym, payload_length]."""

@@ -70,12 +70,21 @@ def allocate_carriers(data_syms, n_data_frames, fft_len=FFT_LEN,
     occ = occupied_carriers or default_occupied_carriers(fft_len)
     occ_idx = np.asarray([c % fft_len for c in occ], np.int32)
     pil_idx = np.asarray([c % fft_len for c in pilot_carriers], np.int32)
-    pil = jnp.asarray(np.asarray(pilot_symbols, np.complex64))
     n_occ = len(occ_idx)
     D = data_syms.reshape(n_data_frames, n_occ)
-    frames = jnp.zeros((n_data_frames, fft_len), C)
-    frames = frames.at[:, jnp.asarray(occ_idx)].set(D)
-    frames = frames.at[:, jnp.asarray(pil_idx)].set(pil[None, :])
+    # scatter -> one-hot matmul (TPU scatters/gathers are the measured
+    # trap; S is (n_occ, fft) with one 1 per row, HIGHEST keeps f32 exact)
+    S = np.zeros((n_occ, fft_len), np.float32)
+    S[np.arange(n_occ), occ_idx] = 1.0
+    Sj = jnp.asarray(S)
+
+    def place(v):
+        return jnp.matmul(v, Sj, precision=jax.lax.Precision.HIGHEST)
+
+    frames = jax.lax.complex(place(jnp.real(D)), place(jnp.imag(D)))
+    pil_row = np.zeros(fft_len, np.complex64)
+    pil_row[pil_idx] = np.asarray(pilot_symbols, np.complex64)
+    frames = frames + jnp.asarray(pil_row)[None, :]
     if sync_words:
         sw = jnp.asarray(np.stack(sync_words).astype(np.complex64))
         frames = jnp.concatenate([sw, frames], axis=0)
@@ -218,10 +227,19 @@ def equalize_simpledfe(frames, H, constellation_points, pilot_carriers=None,
 
 
 def serialize_carriers(frames, fft_len=FFT_LEN, occupied_carriers=None):
-    """ofdm_serializer_vcc: extract occupied-carrier data symbols in order."""
+    """ofdm_serializer_vcc: extract occupied-carrier data symbols in order
+    (gather -> one-hot matmul, see allocate_carriers)."""
     occ = occupied_carriers or default_occupied_carriers(fft_len)
-    occ_idx = jnp.asarray([c % fft_len for c in occ], jnp.int32)
-    return frames[:, occ_idx].reshape(-1)
+    occ_idx = np.asarray([c % fft_len for c in occ], np.int32)
+    S = np.zeros((fft_len, len(occ_idx)), np.float32)
+    S[occ_idx, np.arange(len(occ_idx))] = 1.0
+    Sj = jnp.asarray(S)
+
+    def pick(v):
+        return jnp.matmul(v, Sj, precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.complex(pick(jnp.real(frames)), pick(jnp.imag(frames)))
+    return out.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -110,8 +110,12 @@ def test_cvsd_tracks_audio(rng):
 
 
 def test_gated_codecs_raise():
+    # round 3: gsm_fr and codec2 are native now (ops/gsm_fr.py,
+    # ops/codec2_native.py); only freedv still wraps an external lib
     with pytest.raises(NotImplementedError, match="external library"):
-        vc.codec2_encode_sp()
+        vc.freedv_tx_ss()
+    assert vc.codec2_encode_sp() is not None
+    assert vc.gsm_fr_encode_sp() is not None
 
 
 # ---------------------------------------------------------------------------
