@@ -60,18 +60,19 @@ def main():
     # folded into ONE quad-rate FIR. QA: tests/test_wfm_fused.py matches
     # the unfused reference-parity chain.
     init_state, step, mult = make_wfm_step_fused(samp_rate, quad_rate,
-                                                 audio_rate, R=128)
+                                                 audio_rate, R=128,
+                                                 layout="planes")
 
     n = 1 << 25  # 32M complex samples per step (amortizes dispatch latency)
 
-    run = jax.jit(step)   # input is (n, 2) f32 IQ planes, complex-free
+    run = jax.jit(step)   # input is (2, n) f32 IQ planes, channel-major
 
     # input generated ON DEVICE: bulk device_put of 100s of MB through the
     # axon tunnel intermittently hangs; a jitted PRNG program is instant and
     # keeps the benchmark transfer-free (like the reference's null_source)
     @jax.jit
     def make_input():
-        return 0.5 * jax.random.normal(jax.random.PRNGKey(0), (n, 2),
+        return 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, n),
                                        jnp.float32)
 
     iq = make_input()

@@ -29,12 +29,13 @@ OUT = "/root/repo/BENCH_ALL_r03.json"
 def bench_wbfm():
     import jax
     from gnuradio_tpu.models.wfm import make_wfm_step_fused
-    init_state, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=128)
+    init_state, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=128,
+                                                 layout="planes")
     n = 1 << 25
 
     run = jax.jit(step)
     iq = jax.jit(lambda: 0.5 * jax.random.normal(
-        jax.random.PRNGKey(0), (n, 2), dtype="float32"))()
+        jax.random.PRNGKey(0), (2, n), dtype="float32"))()
     st = jax.jit(init_state)()
     dt = time_fn_carry(run, st, iq, iters=10)
     msps = n / dt / 1e6

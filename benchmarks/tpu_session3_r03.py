@@ -83,10 +83,59 @@ def topblock_dissect():
       n=tb.perf.n)
 
 
+def ofdm_rx_dissect():
+    import jax
+    import jax.numpy as jnp
+    from gnuradio_tpu.models.ofdm import ofdm_tx_burst
+    from gnuradio_tpu.ops import ofdm as O
+    from gnuradio_tpu.ops.digital import constellation_qpsk
+    n_occ = len(O.default_occupied_carriers(64))
+    nf, B = 8, 4096
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 4, (B, nf * n_occ)).astype(np.int32))
+    iqs = jax.jit(lambda si: jax.vmap(
+        lambda s: ofdm_tx_burst(s, 64, 16, pad=32)[0])(si))(idx)
+    const = constellation_qpsk()
+
+    def t(name, fn, *args):
+        f = jax.jit(fn)
+        dt = time_fn(f, *args, iters=10)
+        J(ofdm_rx=name, dt_ms=round(dt * 1e3, 3))
+
+    t("metric", lambda x: jax.vmap(
+        lambda v: O.schmidl_cox_metric(v, 64)[0])(x), iqs)
+    t("detect", lambda x: jax.vmap(
+        lambda v: O.schmidl_cox_detect(v, 64, 16)[0])(x), iqs)
+
+    def demod_dyn(x):
+        def one(v):
+            d, fine = O.schmidl_cox_detect(v, 64, 16)
+            n = v.shape[0]
+            xc = v * jnp.exp(-1j * fine * jnp.arange(n, dtype=jnp.float32))
+            return O.ofdm_demodulate(xc, nf + 2, 64, 16, d)
+        return jax.vmap(one)(x)
+
+    t("detect+cfo+demod", demod_dyn, iqs)
+
+    def tail(x):
+        F = demod_dyn(x)
+
+        def one(Fb):
+            w1, w2 = O.schmidl_cox_preamble(64)
+            H = O.ls_channel_estimate(Fb[1], jnp.asarray(w2), 64)
+            eq = O.equalize_static(Fb[2:], H)
+            syms = O.serialize_carriers(eq, 64)
+            return const.decision(syms)
+        return jax.vmap(one)(F)
+
+    t("full_rx", tail, iqs)
+
+
 def main():
     setup_cache()
     for name, fn in [("floor", dispatch_floor),
                      ("layout", layout_experiment),
+                     ("ofdm_rx", ofdm_rx_dissect),
                      ("topblock", topblock_dissect)]:
         print(f"### {name}", flush=True)
         try:

@@ -98,7 +98,14 @@ class CompiledGraph:
                 else:
                     st2, outs = b.apply(st, ins, self.n_in[b])
                 if isinstance(b, SinkBlock):
-                    taps[b.name] = dev_encode(outs[0])
+                    v = outs[0]
+                    # promote 0-d taps to (1,): 0-d host fetches are
+                    # unimplemented/slow on the axon TPU backend (~18 ms
+                    # per readback measured) — runtime strips it back
+                    if getattr(v, "ndim", 1) == 0:
+                        v = v[None]
+                        b._tap_scalar = True
+                    taps[b.name] = dev_encode(v)
                 else:
                     for p, y in enumerate(outs):
                         values[(b, p)] = y

@@ -219,11 +219,17 @@ class TopBlock:
         pending = []                      # deferred device taps per step
         flush_every = 64                  # bound device-resident backlog
 
+        def _collect(sink, host_val):
+            v = host_decode(host_val, sink.tap_port)
+            if getattr(sink, "_tap_scalar", False):
+                v = v[0]        # undo the compiler's 0-d -> (1,) promotion
+            sink.collect(v)
+
         def _flush():
             for dev_taps in pending:
                 host = {k: np.asarray(v) for k, v in dev_taps.items()}
                 for sink in cg.sinks:
-                    sink.collect(host_decode(host[sink.name], sink.tap_port))
+                    _collect(sink, host[sink.name])
             pending.clear()
 
         while steps_limit is None or step_i < steps_limit:
@@ -264,7 +270,7 @@ class TopBlock:
                     _flush()
             else:
                 for sink in cg.sinks:
-                    sink.collect(host_decode(taps[sink.name], sink.tap_port))
+                    _collect(sink, taps[sink.name])
             if need_msgs:
                 for b in cg.all_blocks():
                     b.msg_work(step_i)

@@ -127,8 +127,9 @@ class _MultiNullSink(_SinkBase):
 
     def apply(self, state, inputs, n_in):
         import jax.numpy as jnp
-        v = sum(jnp.sum(jnp.abs(x)) for x in inputs) * 0.0
-        return state, (v,)
+        v = jnp.zeros((1,), jnp.float32) * sum(
+            jnp.sum(jnp.abs(x)) for x in inputs)
+        return state, (v,)   # 1-D: 0-d fetches are slow on axon
 
 
 def _adapters():

@@ -42,13 +42,14 @@ _ROWS = 64  # output rows (frames) per grid step
 
 
 def _fir_kernel(xa_ref, xh_ref, w_ref, o_ref, *, R, B, D, Lpad):
-    # overlapped frames as TWO slimmed dots over reshaped group views —
-    # no per-frame slice copies, and the second contraction only spans the
-    # ceil-to-128 tap tail (Mosaic cannot concat the sublane-offset view,
-    # so the split stays explicit)
+    # overlapped frames as K+1 slimmed dots over reshaped group views —
+    # no per-frame slice copies; contraction k spans min(BD, Lpad - k*BD)
+    # (Mosaic cannot concat the sublane-offset views, so the group split
+    # stays explicit). B is always 128 lanes: the contraction width per
+    # output is Lpad = B*D + ceil128(T - D), minimized by the smallest B.
     BD = B * D
-    ext = jnp.concatenate([xa_ref[...], xh_ref[0]], axis=0)  # (H+Kh, 128)
-    g = ext.reshape(-1, BD)                       # (R+1, BD)
+    ext = jnp.concatenate([xa_ref[...], xh_ref[0]], axis=0)
+    g = ext.reshape(-1, BD)                       # (R+K, BD)
     W = w_ref[...]                                # (Lpad, B)
     dot = functools.partial(
         jax.lax.dot_general,
@@ -56,9 +57,11 @@ def _fir_kernel(xa_ref, xh_ref, w_ref, o_ref, *, R, B, D, Lpad):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     acc = dot(g[0:R], W[:BD])
-    E = Lpad - BD
-    if E:
-        acc = acc + dot(g[1:R + 1, :E], W[BD:])
+    k = 1
+    while k * BD < Lpad:
+        E = min(BD, Lpad - k * BD)
+        acc = acc + dot(g[k:k + R, :E], W[k * BD:k * BD + E])
+        k += 1
     o_ref[...] = acc
 
 
@@ -74,8 +77,8 @@ def _fir_pallas_real(xp, W, decim: int, n_out: int, R: int = _ROWS,
     BD = B * D
     hop = R * BD
     steps = n_out // (R * B)
-    halo = BD                     # one extra sample group
-    need = steps * hop + halo
+    halo = BD * max(1, -(-Lpad // BD) - 1)   # K extra sample groups (>=1
+    need = steps * hop + halo                # so the halo block is real)
     xp = jnp.pad(xp, (0, max(0, need - xp.shape[0])))
     x2 = xp[: steps * hop].reshape(-1, _LANES)            # (steps*H, 128)
     Hh = halo // _LANES
@@ -125,7 +128,7 @@ def fir_apply_pallas(xp, taps, decim: int = 1, interpret: bool = False):
     T = taps.shape[0]
     n_out = (xp.shape[0] - (T - 1)) // decim
     w = taps[::-1]
-    B = _LANES * max(1, -(-T // (_LANES * decim)))
+    B = _LANES   # minimal lane block minimizes the per-output contraction
     x_c = jnp.iscomplexobj(xp)
     t_c = np.iscomplexobj(taps)
     # adaptive rows-per-step: per-grid-step overhead dominates small

@@ -55,12 +55,21 @@ def ofdm_rx_burst(x, nframes, fft_len=FFT_LEN, cp_len=CP_LEN,
     # correct fine CFO over the whole buffer (phase-continuous)
     n = x.shape[0]
     xc = x * jnp.exp(-1j * fine * jnp.arange(n, dtype=jnp.float32))
-    # frame start: metric plateau midpoint d corresponds to the start of the
-    # first sync symbol's CP; first sync symbol begins at d + ... the
-    # preamble detector yields the boundary — demod from the sync-word-1
-    # symbol start
-    start = d
-    F = ofdm_demodulate(xc, nframes + 2, fft_len, cp_len, start)
+    # frame start: quantize the PLATEAU EDGE down to a multiple of 8 so
+    # the (vmapped) dynamic slice gathers 8-sample ROWS instead of single
+    # samples — a batched per-burst dynamic_slice lowers to a gather whose
+    # cost scales with index count (measured ~16 ms/4096 bursts
+    # elementwise vs ~2 ms row-blocked). The <=7-sample early shift plays
+    # the role of the old fixed -6 backoff: it stays inside the CP margin
+    # and the channel estimate absorbs it as linear phase.
+    start = ((d + 6) // 8) * 8      # d = plateau edge - 6 (see detect)
+    need = nframes + 2
+    sym_len = fft_len + cp_len
+    pad_rows = -((-(n + 8 * 16)) // 8)
+    x8 = jnp.pad(xc, (0, max(0, pad_rows * 8 - n))).reshape(-1, 8)
+    seg = jax.lax.dynamic_slice(
+        x8, (start // 8, 0), (need * sym_len // 8, 8)).reshape(-1)
+    F = ofdm_demodulate(seg, need, fft_len, cp_len, 0)
     w1, w2 = schmidl_cox_preamble(fft_len)
     H = ls_channel_estimate(F[1], jnp.asarray(w2), fft_len)
     data = F[2:]

@@ -191,12 +191,15 @@ class NullSink(SinkBlock):
         super().__init__(in_port, name)
 
     def tap(self, state, x):
-        # reduce to a scalar so almost nothing crosses back to host
-        return state, jnp.sum(jnp.abs(x)) * 0.0
+        # reduce to a tiny 1-D value: almost nothing crosses back to host,
+        # and it is NOT 0-d (0-d fetches are unimplemented/slow on the
+        # axon backend — each scalar readback cost ~18 ms in the round-3
+        # composed-path dissection)
+        return state, jnp.zeros((1,), jnp.float32) * jnp.sum(jnp.abs(x))
 
     @property
     def tap_port(self):
-        return PortSpec(F)  # the tap is a real scalar, not the input dtype
+        return PortSpec(F)  # the tap is a tiny real vector
 
     def collect(self, value):
         pass
