@@ -40,16 +40,35 @@ def bench_bare(n):
             "msps": round(n / dt / 1e6, 1)}
 
 
-def bench_topblock_device(n_per_step, steps=10):
-    """noise -> WfmRcvFull -> null_sink through TopBlock.run()."""
+def bench_topblock_device(n_per_step, steps=10, source="cycle"):
+    """device_cycle_source (or noise) -> WfmRcvFull -> null_sink through
+    TopBlock.run(). The cycle source reuses ONE device buffer per step —
+    the exact analog of the bare-step bench (and of the reference mp-sched
+    feeding from null_source), so (bare - this) is pure runtime overhead.
+    source="noise" keeps the in-graph threefry generator for comparison."""
     import jax
+    import numpy as np
     from gnuradio_tpu.core.runtime import TopBlock
     from gnuradio_tpu.models.wfm import WfmRcvFull
     from gnuradio_tpu.ops.analog import noise_source_c
-    from gnuradio_tpu.ops.blocks import null_sink
+    from gnuradio_tpu.ops.blocks import device_cycle_source, null_sink
     from gnuradio_tpu.core.stream import PortSpec, F
 
-    src = noise_source_c("gaussian", 0.5, seed=1)
+    if source == "noise":
+        src = noise_source_c("gaussian", 0.5, seed=1)
+    else:
+        # learn the graph's exact per-step item count first so the cycle
+        # buffer hits the L == n zero-copy path
+        probe_tb = TopBlock(chunk_mult=None, target_items=n_per_step)
+        probe_src = noise_source_c("gaussian", 0.5, seed=1)
+        probe_tb.connect(probe_src, WfmRcvFull(1e6, 250e3, 50e3),
+                         null_sink(F))
+        n_exact = probe_tb.compile().n_out[probe_src][0]
+        rng = np.random.default_rng(0)
+        buf = (0.5 * (rng.standard_normal(n_exact)
+                      + 1j * rng.standard_normal(n_exact))
+               ).astype(np.complex64)
+        src = device_cycle_source(buf)
     rcv = WfmRcvFull(1e6, 250e3, 50e3)
     snk = null_sink(F)
     tb = TopBlock(chunk_mult=None, target_items=n_per_step)
@@ -63,7 +82,7 @@ def bench_topblock_device(n_per_step, steps=10):
     tb.run(n_steps=steps)
     sync(tb.state)
     dt = (time.perf_counter() - t0) / steps
-    return {"probe": f"wfm_topblock_device_n{n_in}",
+    return {"probe": f"wfm_topblock_device_{source}_n{n_in}",
             "dt_ms": round(dt * 1e3, 3),
             "msps": round(n_in / dt / 1e6, 1)}
 
@@ -95,11 +114,11 @@ def bench_topblock_fed(n_per_step, steps=10):
 def main():
     setup_cache()
     for fn, kw in [
-        (bench_bare, dict(n=1 << 22)),
-        (bench_topblock_device, dict(n_per_step=1 << 22)),
-        (bench_topblock_fed, dict(n_per_step=1 << 22)),
         (bench_bare, dict(n=1 << 24)),
-        (bench_topblock_device, dict(n_per_step=1 << 24)),
+        (bench_topblock_device, dict(n_per_step=1 << 24, steps=40)),
+        (bench_topblock_device, dict(n_per_step=1 << 24, steps=40,
+                                     source="noise")),
+        (bench_topblock_fed, dict(n_per_step=1 << 22)),
     ]:
         t0 = time.time()
         try:

@@ -226,8 +226,12 @@ class TopBlock:
             sink.collect(v)
 
         def _flush():
-            for dev_taps in pending:
-                host = {k: np.asarray(v) for k, v in dev_taps.items()}
+            # ONE batched transfer for the whole backlog: each individual
+            # tiny fetch costs a full tunnel round-trip (~20 ms measured on
+            # axon, benchmarks/probe_topblock_r03.py), so per-step
+            # np.asarray would dominate the composed path. jax.device_get
+            # on the list amortizes it to ~2 ms for 16 steps of taps.
+            for host in jax.device_get(pending):
                 for sink in cg.sinks:
                     _collect(sink, host[sink.name])
             pending.clear()
@@ -263,7 +267,7 @@ class TopBlock:
             with self.perf.measure(items=n_anchor_step):
                 state, taps = cg.step(state, fed)
                 if not defer_fetch:
-                    taps = {k: np.asarray(v) for k, v in taps.items()}
+                    taps = jax.device_get(taps)  # one batched transfer
             if defer_fetch:
                 pending.append(taps)
                 if len(pending) >= flush_every:

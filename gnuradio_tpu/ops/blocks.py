@@ -78,6 +78,63 @@ class StreamSource(SourceBlock):
         return state, (inputs[0],)
 
 
+class DeviceCycleSource(SourceBlock):
+    """Device-resident repeating source: the buffer is uploaded ONCE (into
+    the carried state) and cycled on device each step — no per-step
+    host->device traffic, unlike vector_source(repeat=True) whose chunks
+    cross the tunnel every step.
+
+    This is the TPU-honest analog of the reference's null/synthetic bench
+    sources (gnuradio-runtime/examples/mp-sched/run_synthetic.py feeds
+    null_source): the source costs ~one HBM write, the chain does all the
+    work, and nothing constant-folds because the buffer is a runtime state
+    input. Used by benchmarks/bench_topblock.py for the composed-path
+    number.
+
+    If len(data) < items-per-step n, requires n % len(data) == 0 and emits
+    jnp.tile(roll(buf, -pos)); if len(data) >= n, slices a doubled buffer
+    at the carried offset.
+    """
+
+    is_fed = False
+
+    def __init__(self, data, out_port: PortSpec | None = None, name=None):
+        data = np.asarray(data)
+        if out_port is None:
+            kind = data.dtype.kind
+            out_port = PortSpec(C if kind == "c" else F if kind == "f" else I)
+        super().__init__(out_port, name)
+        self.data = np.asarray(data, dtype=np.dtype(out_port.dtype))
+
+    def init_state(self):
+        return {"buf": jnp.asarray(self.data),
+                "pos": jnp.zeros((), jnp.int32)}
+
+    def generate(self, state, n):
+        import jax
+        from jax import lax
+        buf, pos = state["buf"], state["pos"]
+        L = buf.shape[0]
+        if L == n:
+            return state, buf                  # pos stays 0: n % L == 0
+        if L < n and n % L == 0:
+            y = jnp.tile(buf, n // L)          # pos stays 0: n % L == 0
+            return state, y
+        # general case: tile to >= n+L, dynamic-slice at the carried offset
+        reps = -(-(n + L) // L)
+        y = lax.dynamic_slice_in_dim(jnp.tile(buf, reps), pos, n)
+        new_pos = (pos + n) % L
+        return {"buf": buf, "pos": new_pos}, y
+
+
+def device_cycle_source(data, vlen=1, dtype=None, name=None):
+    data = np.asarray(data)
+    if dtype is None:
+        kind = data.dtype.kind
+        dtype = C if kind == "c" else (F if kind == "f" else I)
+    return DeviceCycleSource(data, PortSpec(dtype, vlen), name)
+
+
 def vector_source(data, repeat=False, vlen=1, dtype=None, name=None,
                   tags=None):
     data = np.asarray(data)

@@ -251,17 +251,41 @@ class IirFilter(SyncBlock):
         if not oldstyle:
             self.fb_int[1:] = -self.fb_int[1:]
         self.in_complex = in_complex
+        # First-order stable recurrences with a short truncated impulse
+        # response run as ONE MXU FIR instead of the log-depth
+        # associative scan (exact to <1e-9; measured ~5.4 ms scan vs
+        # ~0.5 ms FIR at 1.6M samples — iir_core.first_order_fir_taps).
+        # State then carries T-1 input samples instead of y[-1].
+        self._fir_taps = None
+        if (len(self.ff) - 1 <= 1 and len(self.fb_int) - 1 == 1
+                and np.isrealobj(self.ff) and np.isrealobj(self.fb_int)
+                and abs(self.fb_int[1]) < 1.0
+                and self.in_ports[0].vlen == 1):
+            from ..ops.iir_core import first_order_fir_taps
+            t = first_order_fir_taps(
+                self.ff[0], self.ff[1] if len(self.ff) > 1 else 0.0,
+                self.fb_int[1])
+            if len(t) <= 2048:
+                self._fir_taps = t
 
     def init_state(self):
         M = len(self.ff) - 1
         N = len(self.fb_int) - 1
         z = self.in_ports[0]
+        if self._fir_taps is not None:
+            return {"x": z.zeros(len(self._fir_taps) - 1)}
         return {"x": z.zeros(M), "y": z.zeros(N)}
 
     def work(self, state, x):
         M = len(self.ff) - 1
         N = len(self.fb_int) - 1
         dt = x.dtype
+        if self._fir_taps is not None and x.ndim == 1:
+            from ..kernels.fir_xla import fir_apply
+            T = len(self._fir_taps)
+            xp = jnp.concatenate([state["x"], x])
+            y = fir_apply(xp, jnp.asarray(self._fir_taps), 1)
+            return {"x": xp[xp.shape[0] - (T - 1):]}, y.astype(dt)
         if M <= 1 and N == 1:
             b0 = jnp.asarray(self.ff[0], jnp.float32)
             b1 = jnp.asarray(self.ff[1] if M else 0.0, jnp.float32)

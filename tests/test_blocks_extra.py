@@ -293,3 +293,25 @@ def test_correctiq_removes_dc(rng):
     out = snk.data()
     tail = out[20_000:]
     assert abs(tail.mean()) < 0.02  # DC removed in steady state
+
+
+def test_device_cycle_source_tile_and_slice():
+    """DeviceCycleSource cycles a device-resident buffer with zero per-step
+    host traffic (mp-sched null/synthetic source analog; used by
+    benchmarks/bench_topblock.py for the composed-path overhead number)."""
+    buf = (np.arange(12) + 1j * np.arange(12)).astype(np.complex64)
+    src = blk.device_cycle_source(buf)         # L=12 < n=24: tile path
+    snk = blk.vector_sink_c()
+    fg = Flowgraph()
+    fg.connect(src, snk)
+    TopBlock(fg, chunk_mult=24).run(n_steps=2)
+    np.testing.assert_allclose(snk.data(), np.tile(buf, 4))
+
+    buf2 = np.arange(40).astype(np.float32)    # L=40 > n=24: doubled slice
+    src2 = blk.device_cycle_source(buf2)
+    snk2 = blk.vector_sink_f()
+    fg2 = Flowgraph()
+    fg2.connect(src2, snk2)
+    TopBlock(fg2, chunk_mult=24).run(n_steps=3)
+    want = np.array([buf2[i % 40] for i in range(72)], np.float32)
+    np.testing.assert_allclose(snk2.data(), want)
