@@ -56,12 +56,15 @@ def main():
 
     samp_rate, quad_rate, audio_rate = 1_000_000.0, 250_000.0, 50_000.0
     # round 3: fused Pallas front end (rotator collapses into the demod as
-    # a constant phasor; kernels/wfm_fused_pallas.py) + audio/deemph taps
-    # folded into ONE quad-rate FIR. QA: tests/test_wfm_fused.py matches
-    # the unfused reference-parity chain.
+    # a constant phasor; half-contraction v2 kernel carries y[k-1] in VMEM
+    # scratch — kernels/wfm_fused_pallas.py) + split stage2 (215-tap
+    # quad-rate LPF, deemphasis truncated-FIR at audio rate — 2.4x less
+    # contraction than the folded 775-tap form, measured 6.99 -> 2.88 ms).
+    # QA: tests/test_wfm_fused.py matches the unfused reference chain.
     init_state, step, mult = make_wfm_step_fused(samp_rate, quad_rate,
-                                                 audio_rate, R=128,
-                                                 layout="planes")
+                                                 audio_rate, R=256,
+                                                 layout="planes",
+                                                 stage2="split")
 
     n = 1 << 25  # 32M complex samples per step (amortizes dispatch latency)
 

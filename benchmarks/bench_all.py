@@ -29,8 +29,9 @@ OUT = "/root/repo/BENCH_ALL_r03.json"
 def bench_wbfm():
     import jax
     from gnuradio_tpu.models.wfm import make_wfm_step_fused
-    init_state, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=128,
-                                                 layout="planes")
+    init_state, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=256,
+                                                 layout="planes",
+                                                 stage2="split")
     n = 1 << 25
 
     run = jax.jit(step)

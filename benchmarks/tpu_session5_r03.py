@@ -77,6 +77,19 @@ def main():
 
     J(stage="c_split_xla", dt_ms=round(time_fn(split_x, ya, iters=10) * 1e3, 3))
 
+    # full fused step: folded vs split stage2 (planes layout, R=256)
+    from gnuradio_tpu.models.wfm import make_wfm_step_fused as mk
+    iqp = jax.jit(lambda: 0.5 * jax.random.normal(
+        jax.random.PRNGKey(0), (2, n), dtype="float32"))()
+    for mode in ("folded", "split"):
+        init, st_fn, mult = mk(1e6, 250e3, 50e3, R=256, layout="planes",
+                               stage2=mode)
+        run = jax.jit(st_fn)
+        st = jax.jit(init)()
+        dt = time_fn_carry(run, st, iqp, iters=10)
+        J(stage=f"full_fused_{mode}", dt_ms=round(dt * 1e3, 3),
+          msps=round(n / dt / 1e6, 1))
+
     # front alone at R=256
     from gnuradio_tpu.models.wfm import make_wfm_step_fused
     from gnuradio_tpu.kernels.wfm_fused_pallas import WfmFrontFused

@@ -166,6 +166,112 @@ def _wfm_front_pallas(xqr, xqi, W, D: int, n_out: int, gain: float,
     return out.reshape(-1)[:n_out]
 
 
+def _wfm_kernel2(xar, xhr, xai, xhi, w_ref, y0_ref, o_ref, carry_ref, *,
+                 R, B, D, Lpad, gain, c0r, c0i):
+    """Half-contraction variant: computes ONLY y[k] with the MXU; y[k-1]
+    is the same stream shifted one output, built by a lane/sublane shift
+    with a (2, B) VMEM scratch row carried across grid steps (TPU grids
+    execute sequentially per core; v5e is single-core so the carry is
+    safe). Halves the dot work of _wfm_kernel (W has 2B columns, not 4B)."""
+    BD = B * D
+    W = w_ref[...]                   # (Lpad, 2B): [wr | wi]
+    E = Lpad - BD
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    def plane(xa, xh):
+        g = jnp.concatenate([xa[...], xh[0]], axis=0).reshape(-1, BD)
+        acc = dot(g[0:R], W[:BD])
+        if E:
+            acc = acc + dot(g[1:R + 1, :E], W[BD:])
+        return acc
+
+    Ar = plane(xar, xhr)                        # (R, 2B): [Fr.wr | Fr.wi]
+    Ai = plane(xai, xhi)
+    ycr = Ar[:, :B] - Ai[:, B:]
+    yci = Ar[:, B:] + Ai[:, :B]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[0, :] = y0_ref[0, :]          # y[-1] broadcast on lanes
+        carry_ref[1, :] = y0_ref[1, :]
+
+    prev_r_rows = jnp.concatenate([carry_ref[0:1, :], ycr[:-1]], axis=0)
+    prev_i_rows = jnp.concatenate([carry_ref[1:2, :], yci[:-1]], axis=0)
+    ypr = jnp.concatenate([prev_r_rows[:, B - 1:B], ycr[:, :B - 1]], axis=1)
+    ypi = jnp.concatenate([prev_i_rows[:, B - 1:B], yci[:, :B - 1]], axis=1)
+    carry_ref[0, :] = ycr[R - 1, :]
+    carry_ref[1, :] = yci[R - 1, :]
+
+    zr0 = ycr * ypr + yci * ypi
+    zi0 = yci * ypr - ycr * ypi
+    zr = zr0 * c0r - zi0 * c0i
+    zi = zr0 * c0i + zi0 * c0r
+    o_ref[...] = gain * _atan2(zi, zr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("D", "n_out", "gain", "c0", "R",
+                                    "interpret"))
+def _wfm_front_pallas2(xqr, xqi, W, D: int, n_out: int, gain: float,
+                       c0: complex, R: int = _R, interpret: bool = False):
+    """Half-contraction front: xqr/xqi carry (T-1+D) history; frames are
+    sliced from offset D (the y[k] alignment), y[k-1] comes from the
+    in-kernel shifted stream. W: (Lpad, 2B) unshifted band-tap matrix."""
+    from jax.experimental.pallas import tpu as pltpu
+    Lpad, B2 = W.shape
+    B = B2 // 2
+    BD = B * D
+    hop = R * B * D
+    steps = n_out // (R * B)
+    halo = BD
+    need = D + steps * hop + halo
+    xqr = jnp.pad(xqr, (0, max(0, need - xqr.shape[0])))
+    xqi = jnp.pad(xqi, (0, max(0, need - xqi.shape[0])))
+    # y[-1]: dot of the last history window (host-XLA side, tiny)
+    T = Lpad  # only the first T rows of W are nonzero; dot over Lpad is fine
+    wcol_r = W[:, 0]          # wr padded to Lpad (first col pattern: b=0)
+    wcol_i = W[:, B]
+    y0r = jnp.dot(xqr[:Lpad], wcol_r) - jnp.dot(xqi[:Lpad], wcol_i)
+    y0i = jnp.dot(xqr[:Lpad], wcol_i) + jnp.dot(xqi[:Lpad], wcol_r)
+    y0 = jnp.stack([jnp.full((_LANES,), 1.0, jnp.float32) * y0r,
+                    jnp.full((_LANES,), 1.0, jnp.float32) * y0i])
+
+    H = hop // _LANES
+    Hh = halo // _LANES
+    idx = (jnp.arange(steps)[:, None] * H + H + jnp.arange(Hh)[None, :])
+
+    def prep(v):
+        rows = v[D: D + steps * hop + halo].reshape(-1, _LANES)
+        return rows[: steps * H], rows[idx]
+
+    x2r, xhr = prep(xqr)
+    x2i, xhi = prep(xqi)
+
+    out = pl.pallas_call(
+        functools.partial(_wfm_kernel2, R=R, B=B, D=D, Lpad=Lpad,
+                          gain=float(gain), c0r=float(np.real(c0)),
+                          c0i=float(np.imag(c0))),
+        out_shape=jax.ShapeDtypeStruct((steps * R, B), jnp.float32),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((H, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, Hh, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((H, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, Hh, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Lpad, B2), lambda i: (0, 0)),
+            pl.BlockSpec((2, _LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((2, B), jnp.float32)],
+        interpret=interpret,
+    )(x2r, xhr, x2i, xhi, W, y0)
+    return out.reshape(-1)[:n_out]
+
+
 class WfmFrontFused:
     """Channel-select complex-tap FIR (decim D) + quadrature demod, fused.
 
@@ -176,22 +282,30 @@ class WfmFrontFused:
     start); out[k] corresponds to demod of outputs k and k-1."""
 
     def __init__(self, taps, center_freq: float, samp_rate: float,
-                 decim: int, gain: float, R: int = _R):
+                 decim: int, gain: float, R: int = _R, kernel: str = "v2"):
         base = np.asarray(taps, np.float64)
         self.T = len(base)
         self.D = int(decim)
+        self.kernel = kernel
         w = 2 * np.pi * center_freq / samp_rate
         ctaps = base * np.exp(1j * w * np.arange(self.T))
         wr = ctaps[::-1]                       # reversed (conv form)
         D = self.D
         B = _B
         from .fir_pallas import _band_matrix
-        # y[k]   = sum_t w[t] xq[kD + D + t]  -> taps shifted D (cur)
-        # y[k-1] = sum_t w[t] xq[kD + t]      -> unshifted (prev)
-        w_cur_r = np.concatenate([np.zeros(D), wr.real])
-        w_cur_i = np.concatenate([np.zeros(D), wr.imag])
-        mats = [_band_matrix(w.astype(np.float32), B, D)
-                for w in (w_cur_r, w_cur_i, wr.real, wr.imag)]
+        if kernel == "v2":
+            # v2 computes only y[k] (frames sliced from offset D);
+            # y[k-1] is the shifted stream with a VMEM carry — W needs
+            # just the unshifted tap family: (Lpad, 2B)
+            mats = [_band_matrix(v.astype(np.float32), B, D)
+                    for v in (wr.real, wr.imag)]
+        else:
+            # y[k]   = sum_t w[t] xq[kD + D + t]  -> taps shifted D (cur)
+            # y[k-1] = sum_t w[t] xq[kD + t]      -> unshifted (prev)
+            w_cur_r = np.concatenate([np.zeros(D), wr.real])
+            w_cur_i = np.concatenate([np.zeros(D), wr.imag])
+            mats = [_band_matrix(v.astype(np.float32), B, D)
+                    for v in (w_cur_r, w_cur_i, wr.real, wr.imag)]
         Lpad = max(m.shape[0] for m in mats)
 
         def padl(Wm):
@@ -202,7 +316,7 @@ class WfmFrontFused:
             return Wm
 
         self.W = np.concatenate([padl(m) for m in mats],
-                                axis=1)          # (Lpad, 4B)
+                                axis=1)          # (Lpad, 4B) or (Lpad, 2B)
         self.c0 = complex(np.exp(-1j * w * D))
         self.gain = float(gain)
         self.R = int(R)   # frame rows per grid step (VMEM vs grid overhead)
@@ -216,6 +330,7 @@ class WfmFrontFused:
         n_in = xr.shape[0] - self.history
         n_out = n_in // self.D
         n_pad = -(-n_out // (self.R * _B)) * (self.R * _B)
-        y = _wfm_front_pallas(xr, xi, jnp.asarray(self.W), self.D, n_pad,
-                              self.gain, self.c0, self.R, interpret)
+        fn = _wfm_front_pallas2 if self.kernel == "v2" else _wfm_front_pallas
+        y = fn(xr, xi, jnp.asarray(self.W), self.D, n_pad,
+               self.gain, self.c0, self.R, interpret)
         return y[:n_out]

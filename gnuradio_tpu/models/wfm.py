@@ -172,7 +172,7 @@ def make_wfm_step(samp_rate=1_000_000.0, quad_rate=250_000.0,
 def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
                         audio_rate=50_000.0, center_freq=0.0,
                         max_dev=75_000.0, tau=75e-6, interpret=False,
-                        R=32, layout="interleaved"):
+                        R=32, layout="interleaved", stage2="folded"):
     """Fully fused WBFM receiver: the channel-select FIR + rotator + FM
     discriminator run as ONE Pallas kernel (kernels/wfm_fused_pallas.py —
     the rotator collapses algebraically into a constant phasor), followed
@@ -203,8 +203,20 @@ def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
     up[::audio_decim] = d_taps
     comb_taps = np.convolve(a_taps, up).astype(np.float32)
     T2 = len(comb_taps)
+    # stage2="split": keep the 215-tap audio LPF at quad rate and apply
+    # the deemphasis truncated-FIR at AUDIO rate instead — ~2.4x less MXU
+    # contraction than the folded 775-tap quad-rate FIR (the fold saves an
+    # HBM pass, the split saves contraction; which wins is measured —
+    # benchmarks/tpu_session5_r03.py).
+    a32 = a_taps.astype(np.float32)
+    d32 = d_taps.astype(np.float32)
+    Ta, Td = len(a32), len(d32)
 
     def init_state():
+        if stage2 == "split":
+            return {"front": jnp.zeros((2, front.history), jnp.float32),
+                    "audio": jnp.zeros(Ta - 1, jnp.float32),
+                    "deemph": jnp.zeros(Td - 1, jnp.float32)}
         return {"front": jnp.zeros((2, front.history), jnp.float32),
                 "audio": jnp.zeros(T2 - 1, jnp.float32)}
 
@@ -222,6 +234,14 @@ def make_wfm_step_fused(samp_rate=1_000_000.0, quad_rate=250_000.0,
         t0 = jnp.stack([xr[xr.shape[0] - front.history:],
                         xi[xi.shape[0] - front.history:]])
         y = front(xr, xi, interpret=interpret)        # quad-rate FM samples
+        if stage2 == "split":
+            yp = jnp.concatenate([state["audio"], y])
+            t1 = yp[yp.shape[0] - (Ta - 1):]
+            au = fir_apply(yp, jnp.asarray(a32), audio_decim)
+            ap = jnp.concatenate([state["deemph"], au])
+            t2 = ap[ap.shape[0] - (Td - 1):]
+            out = fir_apply(ap, jnp.asarray(d32), 1)
+            return {"front": t0, "audio": t1, "deemph": t2}, out
         yp = jnp.concatenate([state["audio"], y])
         t1 = yp[yp.shape[0] - (T2 - 1):]
         out = fir_apply(yp, jnp.asarray(comb_taps), audio_decim)

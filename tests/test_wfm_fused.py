@@ -96,3 +96,29 @@ def test_fused_chunk_invariance(rng):
     yB = jnp.concatenate([y1, y2])
     np.testing.assert_allclose(np.asarray(yA), np.asarray(yB),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_split_stage2_matches(rng):
+    """stage2="split" (215-tap quad-rate LPF + audio-rate deemph FIR) is
+    numerically equivalent to the folded 775-tap form across chunked calls
+    (carry discipline intact for both tails)."""
+    n = 200_000
+    iq = _fm_like_iq(rng, n)
+    planes = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+
+    outs = {}
+    for mode in ("folded", "split"):
+        init, step, mult = make_wfm_step_fused(1e6, 250e3, 50e3,
+                                               interpret=True, stage2=mode)
+        s = init()
+        step_j = jax.jit(step)
+        parts = []
+        for c in range(2):                      # chunk-invariance included
+            s, y = step_j(s, jnp.asarray(planes[c * 100_000:(c + 1) * 100_000]))
+            parts.append(np.asarray(y))
+        outs[mode] = np.concatenate(parts)
+    skip = 64
+    a, b = outs["folded"][skip:], outs["split"][skip:]
+    err = np.max(np.abs(a - b))
+    scale = np.max(np.abs(a)) + 1e-9
+    assert err / scale < 2e-4, f"split/folded mismatch {err} vs {scale}"
