@@ -52,23 +52,43 @@ def ofdm_rx_burst(x, nframes, fft_len=FFT_LEN, cp_len=CP_LEN,
     const = constellation_qpsk()
     occ = default_occupied_carriers(fft_len)
     d, fine = schmidl_cox_detect(x, fft_len, cp_len)
-    # correct fine CFO over the whole buffer (phase-continuous)
     n = x.shape[0]
-    xc = x * jnp.exp(-1j * fine * jnp.arange(n, dtype=jnp.float32))
     # frame start: quantize the PLATEAU EDGE down to a multiple of 8 so
-    # the (vmapped) dynamic slice gathers 8-sample ROWS instead of single
-    # samples — a batched per-burst dynamic_slice lowers to a gather whose
-    # cost scales with index count (measured ~16 ms/4096 bursts
-    # elementwise vs ~2 ms row-blocked). The <=7-sample early shift plays
-    # the role of the old fixed -6 backoff: it stays inside the CP margin
-    # and the channel estimate absorbs it as linear phase.
+    # the slice moves 8-sample ROWS instead of single samples. The
+    # <=7-sample early shift plays the role of the old fixed -6 backoff:
+    # it stays inside the CP margin and the channel estimate absorbs it
+    # as linear phase.
     start = ((d + 6) // 8) * 8      # d = plateau edge - 6 (see detect)
     need = nframes + 2
     sym_len = fft_len + cp_len
+    need_rows = need * sym_len // 8
     pad_rows = -((-(n + 8 * 16)) // 8)
-    x8 = jnp.pad(xc, (0, max(0, pad_rows * 8 - n))).reshape(-1, 8)
-    seg = jax.lax.dynamic_slice(
-        x8, (start // 8, 0), (need * sym_len // 8, 8)).reshape(-1)
+    x8 = jnp.pad(x, (0, max(0, pad_rows * 8 - n))).reshape(-1, 8)
+    K = x8.shape[0] - need_rows + 1
+    row0 = jnp.clip(start // 8, 0, K - 1)
+    if K <= 64:
+        # one-hot shifted accumulate instead of a per-burst dynamic_slice:
+        # under vmap the batched dynamic_slice lowers to a row gather
+        # (measured 6.4 ms/4096 bursts); K weighted static slices fuse
+        # into one elementwise pass (~1.7 ms).
+        oh = (jnp.arange(K) == row0).astype(jnp.float32)
+        seg2 = jnp.zeros((need_rows, 8), x.dtype)
+        for k in range(K):
+            seg2 = seg2 + oh[k] * jax.lax.slice_in_dim(x8, k, k + need_rows)
+        seg = seg2.reshape(-1)
+    else:
+        seg = jax.lax.dynamic_slice(
+            x8, (row0, 0), (need_rows, 8)).reshape(-1)
+    # fine-CFO rotation AFTER the slice with a factorized phase ramp:
+    # e^{-jf(8 row0 + 80 m + i)} = s0 * A[m] * C[i] — ~92 sincos per burst
+    # instead of one per sample (the full-buffer rotate measured 4.5 ms
+    # at 4096x864).
+    s0 = jnp.exp(-1j * fine * (8.0 * row0.astype(jnp.float32)))
+    A = jnp.exp(-1j * fine * sym_len
+                * jnp.arange(need, dtype=jnp.float32))
+    Cc = jnp.exp(-1j * fine * jnp.arange(sym_len, dtype=jnp.float32))
+    seg = (seg.reshape(need, sym_len)
+           * (s0 * A)[:, None] * Cc[None, :]).reshape(-1)
     F = ofdm_demodulate(seg, need, fft_len, cp_len, 0)
     w1, w2 = schmidl_cox_preamble(fft_len)
     H = ls_channel_estimate(F[1], jnp.asarray(w2), fft_len)
