@@ -172,7 +172,8 @@ def bench_ofdm_loopback():
     from gnuradio_tpu.ops.ofdm import default_occupied_carriers
     n_occ = len(default_occupied_carriers(64))
     nf = 8
-    B = 4096
+    B = 8192   # amortizes the ~2.2 ms per-dispatch floor; 16384 hits a
+               # superlinear memory cliff (tpu_session10_r03.py sweep)
     rng = np.random.default_rng(0)
     idx = rng.integers(0, 4, (B, nf * n_occ)).astype(np.int32)
 
@@ -225,7 +226,7 @@ def bench_topblock_wbfm():
     import jax
     from benchmarks.bench_topblock import bench_bare, bench_topblock_device
     bare = bench_bare(1 << 24)
-    tb = bench_topblock_device(1 << 24)
+    tb = bench_topblock_device(1 << 24, steps=40)
     r = roofline_report("topblock_wbfm(composed)", tb["msps"], 246.0, 8.2)
     r["bare_step_msps"] = bare["msps"]
     r["overhead_pct"] = round(100 * (bare["msps"] / max(tb["msps"], 1e-9)

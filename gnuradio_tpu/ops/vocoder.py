@@ -199,19 +199,53 @@ def cvsd_decode_bs():
 
 
 # ---------------------------------------------------------------------------
-# gated external codecs
+# FreeDV — native modem + codec2 (ops/freedv.py); replaces the reference's
+# libcodec2 freedv API wrap (gr-vocoder/lib/freedv_tx_ss_impl.cc:44-90).
+# Same contract: short speech @8k in -> short modem passband @8k out (tx),
+# reverse with timing/frame sync (rx); text side channel one char/frame.
 # ---------------------------------------------------------------------------
 
-def _gated(name):
-    def factory(*a, **k):
-        raise NotImplementedError(
-            f"{name} wraps an external library in the reference "
-            f"(gr-vocoder optional component); not bundled in this image.")
-    return factory
+def freedv_tx_ss(mode=1600, msg_txt="GNU Radio TPU", interleave_frames=1):
+    """int16 speech @8kHz -> int16 modem samples @8kHz, 320/frame."""
+    from .freedv import FreeDVTx, n_nom_modem_samples, n_speech_samples
+
+    def make():
+        tx = FreeDVTx(mode, msg_txt)
+        return lambda pcm: tx(np.asarray(pcm, np.int16))
+    return _make_host_codec_block(f"freedv_tx_ss_{mode}", np.int16, np.int16,
+                                  n_speech_samples(mode),
+                                  n_nom_modem_samples(mode), make)
 
 
-freedv_tx_ss = _gated("freedv_tx_ss")
-freedv_rx_ss = _gated("freedv_rx_ss")
+def freedv_rx_ss(mode=1600, squelch_thresh=-100.0, interleave_frames=1):
+    """int16 modem samples -> int16 speech, rate 1:1 with constant modem
+    latency (a leading-zeros warmup covers the sync acquisition delay, the
+    analog of the reference block's variable-output general_work)."""
+    from .freedv import FreeDVRx, n_nom_modem_samples
+
+    def make():
+        rx = FreeDVRx(mode)
+        fifo = {"buf": np.zeros(0, np.int16)}
+
+        def fn(modem):
+            sp = rx(np.asarray(modem, np.int16))
+            fifo["buf"] = np.concatenate([fifo["buf"], sp])
+            want = len(np.asarray(modem))
+            if len(fifo["buf"]) >= want:
+                out, fifo["buf"] = fifo["buf"][:want], fifo["buf"][want:]
+            else:
+                out = np.concatenate([
+                    np.zeros(want - len(fifo["buf"]), np.int16),
+                    fifo["buf"]])
+                fifo["buf"] = np.zeros(0, np.int16)
+            return out
+        fn.rx = rx     # expose text channel / sync state for QA
+        return fn
+
+    blk = _make_host_codec_block(f"freedv_rx_ss_{mode}", np.int16, np.int16,
+                                 n_nom_modem_samples(mode),
+                                 n_nom_modem_samples(mode), make)
+    return blk
 
 
 # ---------------------------------------------------------------------------

@@ -109,11 +109,12 @@ def test_cvsd_tracks_audio(rng):
     assert c > 0.95
 
 
-def test_gated_codecs_raise():
-    # round 3: gsm_fr and codec2 are native now (ops/gsm_fr.py,
-    # ops/codec2_native.py); only freedv still wraps an external lib
-    with pytest.raises(NotImplementedError, match="external library"):
-        vc.freedv_tx_ss()
+def test_no_gated_codecs_remain():
+    # round 3: gsm_fr, codec2 AND freedv are all native now (ops/gsm_fr.py,
+    # ops/codec2_native.py, ops/freedv.py) — nothing in gr-vocoder's
+    # catalog raises anymore
+    assert vc.freedv_tx_ss() is not None
+    assert vc.freedv_rx_ss() is not None
     assert vc.codec2_encode_sp() is not None
     assert vc.gsm_fr_encode_sp() is not None
 
