@@ -150,33 +150,65 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
         dtau = tau_seq[1:] - tau_seq[:-1]
         dtau = dtau - sps * jnp.round(dtau / sps)
         tau_u = state["tau_prev"] + jnp.cumsum(dtau)      # continuous
-        # -- symbol sampling at k*sps + tau(block): per-block dynamic_slice
-        # + reshape column picks. A flat y[i0] gather here measured 158 ms
-        # of a 160 ms step (TPU gathers are the trap, see kernels/pfb notes);
-        # the scan of nb light blocks costs ~ms and has NO gathers --
+        # -- symbol sampling at k*sps + tau(block), PHASE-DECOMPOSED:
+        # sample index b*block + o_b + m*sps lives in polyphase column
+        # (o_b mod sps) at row shift o_b//sps. A flat y[i0] gather measured
+        # 158 ms; the r3 per-block dynamic_slice scan measured 35.9 ms
+        # (8192 sequential light iterations); this form is all static
+        # strided views: per-block COLUMN choice is a sps-way one-hot
+        # broadcast-sum, per-block ROW shift a small one-hot accumulate
+        # over shifted flat views — no gathers, no scan.
         spb = block // sps
         o_b = jnp.floor(tau_u).astype(jnp.int32)
         frac_b = (tau_u - o_b.astype(jnp.float32)).astype(jnp.complex64)
-        # pad so every block's slice fits without clamping (clamps shift the
-        # edge blocks' sampling grid); PADL/PADR bound |tau| at the edges
-        PADL, PADR = 8, sps + 18
-        yp2 = jnp.concatenate([jnp.zeros(PADL, y.dtype), y,
-                               jnp.zeros(PADR, y.dtype)])
-        seg_len = block + sps + 2
-        starts = jnp.clip(
-            jnp.arange(nb, dtype=jnp.int32) * block + o_b + PADL,
-            0, yp2.shape[0] - seg_len)
+        # re-center: one dynamic slice removes the common integer offset,
+        # the per-block residual stays in a small window (|tau| wander
+        # within one chunk is bounded by PLL/SRO physics)
+        RMAX = 4                      # residual row shifts in [-RMAX, RMAX]
+        o_mid = o_b[nb // 2]
+        PAD = 2 * RMAX * sps + sps + 2
+        yp2 = jnp.concatenate([jnp.zeros(PAD, y.dtype), y,
+                               jnp.zeros(2 * PAD + block, y.dtype)])
+        # one block of slack on the right: the halo slab trick below
+        # slices a full (nb, block) second slab before truncating columns
+        base = jax.lax.dynamic_slice(
+            yp2, (jnp.clip(o_mid, -PAD, PAD) + PAD - RMAX * sps,),
+            (nb * block + block,))
+        # clip keeps every residual inside the one-hot window (outside it
+        # no weight would fire and the block would silently zero)
+        res = jnp.clip(o_b - o_mid, -RMAX * sps, RMAX * sps - 2)
 
-        def sample_block(_, inp):
-            start, fr = inp
-            seg = jax.lax.dynamic_slice(yp2, (start,), (seg_len,))
-            cols = seg[: spb * sps + 2]
-            s0 = cols[: spb * sps].reshape(spb, sps)[:, 0]
-            s1 = cols[1: spb * sps + 1].reshape(spb, sps)[:, 0]
-            return 0, s0 * (1 - fr) + s1 * fr
+        # halo-extended block windows: ext4[b, m, c] = base[b*block+m*sps+c]
+        # for m in [0, spb + 2*RMAX) — the halo keeps row shifts inside the
+        # block (no cross-block reads of the wrong column)
+        HR = RMAX
+        ext = jnp.concatenate(
+            [base[: nb * block].reshape(nb, block),
+             base[block: block + nb * block].reshape(nb, block)
+             [:, : 2 * HR * sps]], axis=1)
+        ext4 = ext.reshape(nb, spb + 2 * HR, sps)
 
-        _, sym_blocks = jax.lax.scan(sample_block, 0, (starts, frac_b))
-        sym = sym_blocks.reshape(-1)                       # (n/sps,)
+        def polyphase_pick(shift_extra):
+            """Symbol stream at per-block offset res (+shift_extra):
+            1 fused column-select pass + (2R+1)-term within-block row
+            shift. (A flat 36-way one-hot over block-wide views measured
+            +88 ms — per-term full-base reads don't dedupe on TPU.)"""
+            off = res + shift_extra + RMAX * sps        # in [0, 2*RMAX*sps]
+            col = jnp.mod(off, sps)                     # (nb,) column
+            row = off // sps                            # (nb,) row shift
+            colw = (jnp.arange(sps)[None, :] == col[:, None]
+                    ).astype(jnp.float32)               # (nb, sps)
+            zc = jnp.einsum("bmc,bc->bm", ext4, colw)   # (nb, spb+2R)
+            acc = jnp.zeros((nb, spb), y.dtype)
+            for r in range(2 * RMAX + 1):
+                w = (row == r).astype(jnp.float32)[:, None]
+                acc = acc + w * zc[:, r: r + spb]
+            return acc
+
+        s0 = polyphase_pick(0)
+        s1 = polyphase_pick(1)
+        sym = (s0 * (1 - frac_b[:, None])
+               + s1 * frac_b[:, None]).reshape(-1)       # (n/sps,)
         # -- V&V carrier per block of symbols --
         spb = block // sps
         nsb = sym.shape[0] // spb
@@ -186,13 +218,19 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
         dth = th_seq[1:] - th_seq[:-1]
         dth = dth - (jnp.pi / 2) * jnp.round(dth / (jnp.pi / 2))
         th_u = state["th_prev"] + jnp.cumsum(dth)
-        th_full = jnp.repeat(th_u, spb, total_repeat_length=nsb * spb)
-        corr = sym[: nsb * spb] * jnp.exp(-1j * th_full)
+        # per-BLOCK phasor broadcast (nsb sincos, not one per symbol —
+        # jnp.repeat + per-symbol exp measured 15.7 ms of the r3 step)
+        rot = jnp.exp(-1j * th_u)[:, None]                # (nsb, 1)
+        corr = sym[: nsb * spb].reshape(nsb, spb) * rot
         # -- decide + differential decode (angle-domain, see _ANGLE_PTS).
         # After V&V correction the points sit at u*pi/2 + const, i.e. mid-
-        # bin for a ROUND quantizer; the constant cancels in diff decode --
-        ang = jnp.angle(corr)
-        u = jnp.round(ang / (jnp.pi / 2)).astype(jnp.int32) % 4
+        # bin for a ROUND quantizer; the constant cancels in diff decode.
+        # Quadrant decision by sign/magnitude compares — no atan2 --
+        cr, ci = jnp.real(corr).reshape(-1), jnp.imag(corr).reshape(-1)
+        re_major = jnp.abs(cr) >= jnp.abs(ci)
+        u = jnp.where(re_major,
+                      jnp.where(cr >= 0, 0, 2),
+                      jnp.where(ci >= 0, 1, 3)).astype(jnp.int32)
         dd_s, out = dd.work(state["dd"], u.astype(jnp.int8))
         return ({"tail": tail, "tau_prev": tau_u[-1], "th_prev": th_u[-1],
                  "dd": dd_s}, out)
