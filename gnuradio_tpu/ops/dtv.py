@@ -156,10 +156,14 @@ def energy_dispersal(ts_bytes):
     x = ts_bytes.astype(jnp.int32) & 0xFF
     g = x.reshape(x.shape[:-1] + (-1, NPACKS * PSIZE))
     out = g ^ jnp.asarray(_DISPERSAL_MASK, jnp.int32)
-    sync_pos = np.arange(NPACKS) * PSIZE
-    sync_vals = np.full(NPACKS, SYNC, np.int32)
-    sync_vals[0] = NSYNC
-    out = out.at[..., sync_pos].set(jnp.asarray(sync_vals))
+    # sync overwrite as a precomputed mask + where (scatter-free: .at[].set
+    # lowered to a scatter pass measured ~2 ms at 6.7M bytes)
+    sync_mask = np.zeros(NPACKS * PSIZE, bool)
+    sync_vals_full = np.zeros(NPACKS * PSIZE, np.int32)
+    sync_mask[np.arange(NPACKS) * PSIZE] = True
+    sync_vals_full[np.arange(NPACKS) * PSIZE] = SYNC
+    sync_vals_full[0] = NSYNC
+    out = jnp.where(jnp.asarray(sync_mask), jnp.asarray(sync_vals_full), out)
     return out.reshape(x.shape)
 
 
@@ -168,8 +172,9 @@ def energy_descramble(dispersed):
     x = dispersed.astype(jnp.int32) & 0xFF
     g = x.reshape(x.shape[:-1] + (-1, NPACKS * PSIZE))
     out = g ^ jnp.asarray(_DISPERSAL_MASK, jnp.int32)
-    sync_pos = np.arange(NPACKS) * PSIZE
-    out = out.at[..., sync_pos].set(SYNC)
+    sync_mask = np.zeros(NPACKS * PSIZE, bool)
+    sync_mask[np.arange(NPACKS) * PSIZE] = True
+    out = jnp.where(jnp.asarray(sync_mask), SYNC, out)
     return out.reshape(x.shape)
 
 
@@ -208,22 +213,34 @@ def conv_interleave_indices(n: int, I: int = 12, M: int = 17):
     return hist + t - I * M * (t % I), hist
 
 
+def _branch_delay_apply(x, tail, branch_delay, I):
+    """Shared Forney-interleaver core. With t = I*q + j the index pattern
+    idx[t] = hist + t - I*M*d(j) decomposes into I STATIC strided slices
+    out.reshape(-1, I)[:, j] = ext[hist + j - I*M*d(j) + I*q] — a pure
+    relayout; the previous flat gather measured ~3.7 ms at 6.8M bytes."""
+    hist = tail.shape[0]                       # I*M*(I-1)
+    N = x.shape[0]
+    ext = jnp.concatenate([tail, x])
+    cols = []
+    for j in range(I):
+        s = hist + j - branch_delay[j]
+        cols.append(jax.lax.slice(ext, (s,), (s + (N // I - 1) * I + 1,),
+                                  (I,)))
+    out = jnp.stack(cols, axis=1).reshape(-1)
+    return out, ext[ext.shape[0] - hist:]
+
+
 def conv_interleave(x, tail, I: int = 12, M: int = 17):
     """x: [N] bytes (N % I == 0), tail: [I*M*(I-1)] carried history.
-    Returns (out [N], new_tail)."""
-    idx, hist = conv_interleave_indices(x.shape[0], I, M)
-    ext = jnp.concatenate([tail, x])
-    return ext[jnp.asarray(idx)], ext[ext.shape[0] - hist:]
+    Returns (out [N], new_tail). Branch j = t%I delays j*M groups of I."""
+    return _branch_delay_apply(x, tail, [I * M * j for j in range(I)], I)
 
 
 def conv_deinterleave(x, tail, I: int = 12, M: int = 17):
     """Branch j delays (I-1-j)*M groups; interleave+deinterleave = pure
     delay of I*M*(I-1) bytes."""
-    hist = I * M * (I - 1)
-    t = np.arange(x.shape[0])
-    idx = hist + t - I * M * ((I - 1) - (t % I))
-    ext = jnp.concatenate([tail, x])
-    return ext[jnp.asarray(idx)], ext[ext.shape[0] - hist:]
+    return _branch_delay_apply(
+        x, tail, [I * M * (I - 1 - j) for j in range(I)], I)
 
 
 def conv_interleaver_init(I: int = 12, M: int = 17):
