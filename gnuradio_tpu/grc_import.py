@@ -371,6 +371,14 @@ _TYPE_SUFFIXES = {
 
 # GRC parameter name -> candidate factory kwarg names
 _PARAM_ALIASES = {
+    "minsize": ["min_items"],
+    "maxsize": ["max_items"],
+    "mask": ["byte_mask"],
+    "map": ["table"],
+    "delay": ["d"],
+    "ipaddr": ["host"],
+    "address": ["host"],
+    "addr": ["host"],
     "decim": ["decimation", "decim"],
     "interp": ["interpolation", "interp"],
     "num_items": ["num_items", "n", "nitems"],
@@ -521,7 +529,11 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
     if "\n" not in text:
         with open(text) as f:
             text = f.read()
-    doc = yaml.safe_load(text)
+    if text.lstrip().startswith("<?xml"):
+        # legacy GNU Radio 3.7 XML — route through the converter
+        doc = convert_legacy_xml(text)
+    else:
+        doc = yaml.safe_load(text)
     overrides = overrides or {}
     adapters = _adapters()
     if extra_adapters:
@@ -550,18 +562,22 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             continue
         specs.append(("block", bid, (btype, params)))
 
-    # multi-pass variable resolution (dependency order unknown)
+    # multi-pass variable resolution (dependency order unknown): retry any
+    # variable whose expression didn't evaluate (raw string came back) —
+    # it may depend on a later-defined variable
     pending = [(bid, p) for kind, bid, p in specs if kind == "var"]
     for _ in range(len(pending) + 1):
         nxt = []
         for bid, p in pending:
             v = _eval(p.get("value"), ns)
-            if isinstance(v, str) and v == p.get("value", "").strip() and \
-                    any(t in v for t in (bid2 for bid2, _ in pending)):
+            if isinstance(v, str) and v == str(p.get("value", "")).strip() \
+                    and not (v.startswith(("'", '"'))):
                 nxt.append((bid, p))
             else:
                 ns[bid] = v
-        if not nxt:
+        if not nxt or len(nxt) == len(pending):
+            for bid, p in nxt:              # give up: raw strings stand
+                ns[bid] = _eval(p.get("value"), ns)
             break
         pending = nxt
 
@@ -593,7 +609,14 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
         s, sp, d, dp = conn
         if s not in blocks or d not in blocks:
             continue  # endpoint dropped (disabled/unmapped sink)
-        fg.connect((blocks[s], int(sp)), (blocks[d], int(dp)))
+        try:
+            spi, dpi = int(sp), int(dp)
+        except ValueError:
+            # non-numeric port names are MESSAGE ports ('strobe',
+            # 'generate', 'pdus', ... — grc msg connections use names)
+            fg.msg_connect(blocks[s], str(sp), blocks[d], str(dp))
+            continue
+        fg.connect((blocks[s], spi), (blocks[d], dpi))
     return TopBlock(fg), blocks
 
 

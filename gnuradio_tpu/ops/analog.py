@@ -146,6 +146,18 @@ class NoiseSource(SourceBlock):
         return key, y
 
 
+def const_source_c(constant=1.0):
+    """analog const_source_x: endless constant stream (sig_source with
+    GR_CONST_WAVE and the constant as offset)."""
+    return SigSource(1.0, GR_CONST_WAVE, 0.0, 0.0, constant,
+                     complex_out=True)
+
+
+def const_source_f(constant=1.0):
+    return SigSource(1.0, GR_CONST_WAVE, 0.0, 0.0, constant,
+                     complex_out=False)
+
+
 def noise_source_c(noise_type="gaussian", amplitude=1.0, seed=0):
     return NoiseSource(noise_type, amplitude, seed, complex_out=True)
 

@@ -164,6 +164,30 @@ def vector_source_s(data, repeat=False, vlen=1):
     return StreamSource(np.asarray(data, np.int16), PortSpec(S, vlen), repeat)
 
 
+def random_source(minimum, maximum, num_samps, repeat=False, dtype=I,
+                  seed=0):
+    """analog_random_source_x (gr-blocks/lib random sources): num_samps
+    uniform ints in [minimum, maximum), emitted once (or repeated) —
+    behaviorally a vector_source over a precomputed random buffer, which
+    is exactly the reference implementation's strategy."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(int(minimum), int(maximum),
+                        int(num_samps)).astype(np.dtype(dtype))
+    return StreamSource(data, PortSpec(dtype), repeat)
+
+
+def random_source_b(minimum=0, maximum=2, num_samps=1024, repeat=False):
+    return random_source(minimum, maximum, num_samps, repeat, B)
+
+
+def random_source_s(minimum=0, maximum=2, num_samps=1024, repeat=False):
+    return random_source(minimum, maximum, num_samps, repeat, S)
+
+
+def random_source_i(minimum=0, maximum=2, num_samps=1024, repeat=False):
+    return random_source(minimum, maximum, num_samps, repeat, I)
+
+
 class NullSource(SourceBlock):
     """Zeros generator (gr::blocks::null_source)."""
 

@@ -12,13 +12,50 @@ REF = "/root/reference/"
 EXAMPLES = [
     "gr-analog/examples/fm_tx.grc",
     "gr-analog/examples/noise_power.grc",
-    "gr-blocks/examples/vector_source_with_tags.grc",
+    "gr-audio/examples/grc/dial_tone.grc",
+    "gr-blocks/examples/ctrlport/comparing_resamplers.grc",
+    "gr-blocks/examples/ctrlport/usrp_source_control.grc",
     "gr-blocks/examples/peak_detector2.grc",
-    "gr-filter/examples/resampler_demo.grc",
-    "gr-filter/examples/polyphase_channelizer_demo.grc",
-    "gr-channels/examples/demo_two_tone.grc",
+    "gr-blocks/examples/vector_source_with_tags.grc",
     "gr-channels/examples/channel_tone_response.grc",
+    "gr-channels/examples/demo_ofdm.grc",
+    "gr-channels/examples/demo_qam.grc",
+    "gr-channels/examples/demo_two_tone.grc",
+    "gr-dtv/examples/uhd_atsc_capture.grc",
+    "gr-filter/examples/polyphase_channelizer_demo.grc",
+    "gr-filter/examples/resampler_demo.grc",
+    "gr-network/examples/test_udp_sink.grc",
+    "gr-network/examples/test_udp_sink_seq.grc",
+    "gr-network/examples/test_udp_source.grc",
+    "gr-network/examples/test_udp_source_ipv6.grc",
+    "gr-qtgui/apps/grc_qt_example.grc",
     "gr-qtgui/examples/qtgui_multi_input.grc",
+    "gr-qtgui/examples/qtgui_tags_viewing.grc",
+    "gr-qtgui/examples/show_controls.grc",
+    "gr-qtgui/examples/show_controls2.grc",
+    "gr-qtgui/examples/show_dialgauge1.grc",
+    "gr-qtgui/examples/show_dialgauge2.grc",
+    "gr-qtgui/examples/test_appbackground.grc",
+    "gr-qtgui/examples/test_autocorrelator.grc",
+    "gr-qtgui/examples/test_compass.grc",
+    "gr-qtgui/examples/test_dialcontrol.grc",
+    "gr-qtgui/examples/test_dialcontrol2.grc",
+    "gr-qtgui/examples/test_distanceradar.grc",
+    "gr-qtgui/examples/test_graphicitem.grc",
+    "gr-qtgui/examples/test_graphicscaled.grc",
+    "gr-qtgui/examples/test_led.grc",
+    "gr-qtgui/examples/test_levelgauge.grc",
+    "gr-qtgui/examples/test_msgcheckbox.grc",
+    "gr-qtgui/examples/test_msgcheckbox_str.grc",
+    "gr-qtgui/examples/test_msgpush.grc",
+    "gr-qtgui/examples/test_toggle.grc",
+    "gr-qtgui/examples/test_toggleswitch.grc",
+    "gr-qtgui/examples/test_toggleswitch2.grc",
+    "gr-uhd/examples/grc/uhd_const_wave.grc",
+    "gr-uhd/examples/grc/uhd_normalized_gain.grc",
+    "gr-uhd/examples/grc/uhd_siggen_gui.grc",
+    "grc/tests/resources/test_compiler.grc",
+    "grc/tests/resources/test_cpp.grc",
 ]
 
 
