@@ -39,7 +39,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gnuradio_tpu.core.tags import Tag
 from gnuradio_tpu.models.wfm import channel_taps, wfm_taps
@@ -78,7 +78,7 @@ def make_front(mesh):
 
     repl = {"chan_tail": P(), "demod_prev": P()}
     fn = shard_map(local, mesh=mesh, in_specs=(repl, P("time", None)),
-                   out_specs=(repl, P("time")), check_rep=False)
+                   out_specs=(repl, P("time")), check_vma=False)
     return init, jax.jit(fn)
 
 
@@ -104,7 +104,7 @@ def make_back(mesh):
 
     repl = {"audio_tail": P(), "deemph_x": P(), "deemph_y": P()}
     fn = shard_map(local, mesh=mesh, in_specs=(repl, P("time",)),
-                   out_specs=(repl, P("time")), check_rep=False)
+                   out_specs=(repl, P("time")), check_vma=False)
     return init, jax.jit(fn)
 
 

@@ -68,7 +68,7 @@ def make_synthetic(npipes: int, nstages: int, ntaps: int = 256):
 def synthetic_sharded(mesh, npipes, nstages, ntaps=256):
     """Pipes sharded over 'chan' — zero collectives (the mp-sched layout)."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     init, step, taps = make_synthetic(npipes, nstages, ntaps)
     D = mesh.shape["chan"]
@@ -76,7 +76,7 @@ def synthetic_sharded(mesh, npipes, nstages, ntaps=256):
     sharded = shard_map(step_l, mesh=mesh,
                         in_specs=(P(None, "chan", None), P("chan", None)),
                         out_specs=(P(None, "chan", None), P("chan", None)),
-                        check_rep=False)
+                        check_vma=False)
     return init, jax.jit(sharded)
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..kernels.fir_xla import fir_apply_batched
 from .channelize import channelizer_taps, resampler_taps
@@ -113,7 +113,7 @@ def make_channelizer_sharded(mesh: Mesh, fs: float = 6_400_000.0,
         _local, mesh=mesh,
         in_specs=(state_specs, P()),
         out_specs=(state_specs, P("chan", None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     step = jax.jit(sharded, donate_argnums=(0,))
     specs = {

@@ -158,35 +158,57 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
         # strided views: per-block COLUMN choice is a sps-way one-hot
         # broadcast-sum, per-block ROW shift a small one-hot accumulate
         # over shifted flat views — no gathers, no scan.
+        #
+        # Re-centering is per GROUP of G blocks (r4): a single chunk-wide
+        # midpoint bounded the residual window to ±RMAX*sps for the WHOLE
+        # chunk, which silently mis-timed outer blocks once SRO drift
+        # exceeded ~RMAX*sps (advisor r3 finding). Per-group vmapped
+        # dynamic_slice re-centers every G blocks, so the one-hot window
+        # only has to cover intra-group drift (G*block samples * SRO;
+        # 100 ppm over G=32 blocks of 1024 is ~3.3 samples << RMAX*sps)
+        # plus estimator noise. The ng-row gather costs ~1.6 us/row.
         spb = block // sps
         o_b = jnp.floor(tau_u).astype(jnp.int32)
         frac_b = (tau_u - o_b.astype(jnp.float32)).astype(jnp.complex64)
-        # re-center: one dynamic slice removes the common integer offset,
-        # the per-block residual stays in a small window (|tau| wander
-        # within one chunk is bounded by PLL/SRO physics)
         RMAX = 4                      # residual row shifts in [-RMAX, RMAX]
-        o_mid = o_b[nb // 2]
-        PAD = 2 * RMAX * sps + sps + 2
+        G = min(32, nb)               # blocks per re-center group
+        ng = -(-nb // G)              # ceil
+        nbp = ng * G
+        # pad per-block offsets to a whole number of groups (edge repeat);
+        # symbols from padded blocks are truncated after sampling
+        o_p = jnp.concatenate([o_b, jnp.broadcast_to(o_b[-1], (nbp - nb,))])
+        o_g = o_p.reshape(ng, G)[:, G // 2]             # group midpoints
+        # PAD bounds the absolute group offset (|tau| stays ~ sps/2 +
+        # intra-chunk drift thanks to the mod-sps re-anchor below; 2*block
+        # of zero padding covers > 200 ppm SRO on a 2^23 chunk)
+        PAD = 2 * block
         yp2 = jnp.concatenate([jnp.zeros(PAD, y.dtype), y,
-                               jnp.zeros(2 * PAD + block, y.dtype)])
+                               jnp.zeros(PAD + (nbp - nb + 1) * block,
+                                         y.dtype)])
+        o_gc = jnp.clip(o_g, -(PAD - RMAX * sps), PAD - RMAX * sps)
         # one block of slack on the right: the halo slab trick below
-        # slices a full (nb, block) second slab before truncating columns
-        base = jax.lax.dynamic_slice(
-            yp2, (jnp.clip(o_mid, -PAD, PAD) + PAD - RMAX * sps,),
-            (nb * block + block,))
+        # slices a full second slab before truncating columns
+        starts = (jnp.arange(ng) * (G * block) + o_gc + PAD - RMAX * sps)
+        base = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(yp2, (s,),
+                                            (G * block + block,)))(starts)
         # clip keeps every residual inside the one-hot window (outside it
         # no weight would fire and the block would silently zero)
-        res = jnp.clip(o_b - o_mid, -RMAX * sps, RMAX * sps - 2)
+        res = jnp.clip(o_p - jnp.repeat(o_gc, G),
+                       -RMAX * sps, RMAX * sps - 2)
 
-        # halo-extended block windows: ext4[b, m, c] = base[b*block+m*sps+c]
-        # for m in [0, spb + 2*RMAX) — the halo keeps row shifts inside the
-        # block (no cross-block reads of the wrong column)
+        # halo-extended block windows: ext4[b, m, c] = base-sample at
+        # b*block + m*sps + c for m in [0, spb + 2*RMAX) — the halo keeps
+        # row shifts inside the block (no cross-block reads of the wrong
+        # column)
         HR = RMAX
         ext = jnp.concatenate(
-            [base[: nb * block].reshape(nb, block),
-             base[block: block + nb * block].reshape(nb, block)
+            [base[:, : G * block].reshape(nbp, block),
+             base[:, block: block + G * block].reshape(nbp, block)
              [:, : 2 * HR * sps]], axis=1)
-        ext4 = ext.reshape(nb, spb + 2 * HR, sps)
+        ext4 = ext.reshape(nbp, spb + 2 * HR, sps)
+        frac_b = jnp.concatenate(
+            [frac_b, jnp.broadcast_to(frac_b[-1], (nbp - nb,))])
 
         def polyphase_pick(shift_extra):
             """Symbol stream at per-block offset res (+shift_extra):
@@ -197,9 +219,9 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
             col = jnp.mod(off, sps)                     # (nb,) column
             row = off // sps                            # (nb,) row shift
             colw = (jnp.arange(sps)[None, :] == col[:, None]
-                    ).astype(jnp.float32)               # (nb, sps)
-            zc = jnp.einsum("bmc,bc->bm", ext4, colw)   # (nb, spb+2R)
-            acc = jnp.zeros((nb, spb), y.dtype)
+                    ).astype(jnp.float32)               # (nbp, sps)
+            zc = jnp.einsum("bmc,bc->bm", ext4, colw)   # (nbp, spb+2R)
+            acc = jnp.zeros((nbp, spb), y.dtype)
             for r in range(2 * RMAX + 1):
                 w = (row == r).astype(jnp.float32)[:, None]
                 acc = acc + w * zc[:, r: r + spb]
@@ -208,7 +230,7 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
         s0 = polyphase_pick(0)
         s1 = polyphase_pick(1)
         sym = (s0 * (1 - frac_b[:, None])
-               + s1 * frac_b[:, None]).reshape(-1)       # (n/sps,)
+               + s1 * frac_b[:, None]).reshape(-1)[: nb * spb]  # (n/sps,)
         # -- V&V carrier per block of symbols --
         spb = block // sps
         nsb = sym.shape[0] // spb
@@ -232,7 +254,16 @@ def make_qpsk_rx_feedforward(sps: int = 4, excess_bw: float = 0.35,
                       jnp.where(cr >= 0, 0, 2),
                       jnp.where(ci >= 0, 1, 3)).astype(jnp.int32)
         dd_s, out = dd.work(state["dd"], u.astype(jnp.int8))
-        return ({"tail": tail, "tau_prev": tau_u[-1], "th_prev": th_u[-1],
+        # Re-anchor the carried absolute offsets at the chunk boundary so
+        # they never grow without bound under SRO/CFO (advisor r3): the
+        # next chunk's unwrap only uses these modulo sps (resp. pi/2) —
+        # dtau is folded into (-sps/2, sps/2] regardless — and the decision
+        # path is invariant to whole-symbol / whole-quadrant shifts (diff
+        # decode absorbs the constant). Without this, tau_prev/th_prev
+        # accumulate until f32 precision (and the PAD clip) break.
+        tau_a = tau_u[-1] - sps * jnp.round(tau_u[-1] / sps)
+        th_a = th_u[-1] - (jnp.pi / 2) * jnp.round(th_u[-1] / (jnp.pi / 2))
+        return ({"tail": tail, "tau_prev": tau_a, "th_prev": th_a,
                  "dd": dd_s}, out)
 
     return init_state, step

@@ -280,7 +280,12 @@ class IirFilter(SyncBlock):
         M = len(self.ff) - 1
         N = len(self.fb_int) - 1
         dt = x.dtype
-        if self._fir_taps is not None and x.ndim == 1:
+        if self._fir_taps is not None:
+            # vlen==1 is a precondition of the fast path (checked at
+            # construction), so x is 1-D here; assert rather than fall
+            # through to the recurrence branches, whose state pytree
+            # ({'x','y'}) is different from this branch's ({'x'}).
+            assert x.ndim == 1, "first-order IIR FIR path expects 1-D input"
             from ..kernels.fir_xla import fir_apply
             T = len(self._fir_taps)
             xp = jnp.concatenate([state["x"], x])

@@ -130,6 +130,7 @@ class FreeDVRx:
         self._offset = None
         self.text = ""
         self._frames = 0
+        self._bad = 0              # consecutive sync-byte failures
 
     def _dft_row(self, seg, bins):
         t = np.arange(_NSYM)
@@ -205,6 +206,23 @@ class FreeDVRx:
                 self._ph = self._dft_row(x[pos: pos + _NSYM], _DATA_BINS)
                 pos += _NSYM
                 continue
+            if sync != _SYNC_BYTE:
+                # Continuous sync tracking (the reference freedv modem
+                # re-acquires after losing sync; a sample slip or dropout
+                # would otherwise desynchronize this stream permanently —
+                # advisor r3). One or two bad sync bytes may just be bit
+                # errors; 3 consecutive means we lost the frame grid.
+                self._bad += 1
+                if self._bad >= 3:
+                    self._bad = 0
+                    self._offset = None
+                    self._ph = None
+                    self._buf = x[pos:]
+                    if out:
+                        return np.concatenate(out).astype(np.int16)
+                    return np.zeros(0, np.int16)
+            else:
+                self._bad = 0
             self._ph = ph
             ch = chr(np.packbits(bits[104:112].astype(np.uint8))[0])
             if ch != "\r":

@@ -171,3 +171,50 @@ def test_qpsk_feedforward_rx_loopback(rng):
     st, sym = jax.jit(step)(st, jnp.asarray(x[:n]))
     ser = ber_after_alignment(np.asarray(sym), tx_sym, skip=1024)
     assert ser < 1e-3, ser
+
+
+def test_qpsk_feedforward_rx_sro(rng):
+    """Sample-rate offset: tau drifts linearly across the chunk, far past
+    the old chunk-wide ±RMAX*sps one-hot window (advisor r3 finding — outer
+    blocks silently mis-timed). The per-group re-centered sampler must keep
+    every block timed. Under SRO a fixed-rate chunk API necessarily slips
+    whole symbols (~1 per 1/(sps*sro) samples), so SER is scored with
+    per-segment alignment: most segments sit between slips and must decode
+    cleanly."""
+    from gnuradio_tpu.models.qpsk import make_qpsk_rx_feedforward
+    sps = 4
+    nsym = 140_000
+    bits = rng.integers(0, 2, 2 * nsym)
+    iq, tx_sym = qpsk_tx(bits, sps=sps)
+    sro = 5e-5        # 50 ppm: ~28 samples drift over the chunk — well past
+    #                   the former chunk-wide ±16-sample one-hot window
+    t = np.arange(int(len(iq) / (1 + sro)) - 2) * (1 + sro)
+    x = (np.interp(t, np.arange(len(iq)), iq.real)
+         + 1j * np.interp(t, np.arange(len(iq)), iq.imag))
+    x = x * np.exp(1j * 0.4)
+    x = (x + 0.02 * (rng.standard_normal(len(x))
+                     + 1j * rng.standard_normal(len(x)))).astype(np.complex64)
+    init_s, step = make_qpsk_rx_feedforward(sps=sps)
+    import jax
+    st = jax.jit(init_s)()
+    n = (len(x) // 4096) * 4096          # one big chunk: drift ~ n*sro = 11
+    st, sym = jax.jit(step)(st, jnp.asarray(x[:n]))
+    sym = np.asarray(sym)
+    # score 8k-symbol segments independently, each with its own two-sided
+    # lag search over the accumulated-slip range (rx symbol k maps to tx
+    # symbol ~ k*(1+sps*sro/sps) plus the differential-decode offset)
+    seg = 8192
+    maxlag = int(len(sym) * sro) + 16
+    sers = []
+    for s0 in range(1024, len(sym) - seg - maxlag, seg):
+        best = 1.0
+        # lag range covers the matched-filter group delay (~ -11 symbols)
+        # plus accumulated SRO slips (positive)
+        for lag in range(-32, maxlag):
+            t = tx_sym[s0 + lag: s0 + lag + seg]
+            r = sym[s0: s0 + len(t)]
+            best = min(best, np.mean(r != t[: len(r)]))
+        sers.append(best)
+    sers = np.array(sers)
+    assert np.median(sers) < 1e-3, sers
+    assert np.mean(sers < 1e-2) >= 0.6, sers
