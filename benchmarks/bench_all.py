@@ -21,9 +21,10 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 from benchmarks.bench_util import (CHIP, roofline_report, setup_cache, sync,
-                                   time_fn, time_fn_carry)
+                                   time_fn, time_fn_carry,
+                                   xla_bytes_accessed)
 
-OUT = "/root/repo/BENCH_ALL_r03.json"
+OUT = "/root/repo/BENCH_ALL_r04.json"
 
 
 def bench_wbfm():
@@ -42,7 +43,8 @@ def bench_wbfm():
     msps = n / dt / 1e6
     # 97-tap complex FIR/4 (x2 for the demod's y[k-1] path) + demod + folded
     # audio+deemph FIR (775 taps / 20)
-    return roofline_report("wbfm_rx_chain(fused)", msps, 246.0, 8.2)
+    return roofline_report("wbfm_rx_chain(fused)", msps, 246.0, 8.2,
+                           xla_bytes_accessed(run, st, iq), n)
 
 
 def bench_channelizer():
@@ -70,7 +72,8 @@ def bench_channelizer():
     dt = time_fn_carry(run, st, iq, iters=10)
     msps = n / dt / 1e6
     return roofline_report("pfb_channelizer_64ch+arb_resampler", msps,
-                           float(flops), 8.0 + 7.5)
+                           float(flops), 8.0 + 7.5,
+                           xla_bytes_accessed(run, st, iq), n)
 
 
 def bench_qpsk_feedforward():
@@ -94,7 +97,8 @@ def bench_qpsk_feedforward():
     dt = time_fn_carry(run, st, dev, iters=10)
     msps = n / dt / 1e6
     return roofline_report("qpsk_rx_feedforward(O&M+V&V)", msps,
-                           11 * sps * 8 + 38.0, 8.0)
+                           11 * sps * 8 + 38.0, 8.0,
+                           xla_bytes_accessed(run, st, dev), n)
 
 
 def bench_qpsk_tracking_legacy():
@@ -118,7 +122,8 @@ def bench_qpsk_tracking_legacy():
     dt = time_fn_carry(run, st, dev, iters=5)
     msps = n / dt / 1e6
     flops = 11 * sps * 8 / 1.0 + 100.0 / sps
-    return roofline_report("qpsk_rx_tracking_scan_legacy", msps, flops, 8.0)
+    return roofline_report("qpsk_rx_tracking_scan_legacy", msps, flops, 8.0,
+                           xla_bytes_accessed(run, st, dev), n)
 
 
 def bench_qpsk_tracking_blockparallel():
@@ -140,7 +145,8 @@ def bench_qpsk_tracking_blockparallel():
     msps = n / dt / 1e6
     # MF 22*8 + per-symbol loop work ~60/sps + stitch
     return roofline_report("qpsk_rx_tracking_blockparallel(single-stream)",
-                           msps, 22 * 8 + 40.0, 8.0)
+                           msps, 22 * 8 + 40.0, 8.0,
+                           xla_bytes_accessed(run, x), n)
 
 
 def bench_qpsk_tracking_1024ch():
@@ -162,7 +168,7 @@ def bench_qpsk_tracking_1024ch():
     msps = n * C / dt / 1e6
     # Farrow interp x2 + TED + 2 loop updates ~ 70 FLOP/sample-equivalent
     return roofline_report("qpsk_rx_tracking_1024ch(aggregate)", msps,
-                           70.0, 8.0)
+                           70.0, 8.0, xla_bytes_accessed(run, st, x), n * C)
 
 
 def bench_ofdm_loopback():
@@ -191,7 +197,9 @@ def bench_ofdm_loopback():
     burst_len = 32 * 2 + (2 + nf) * (64 + 16)
     msps = B * burst_len / dt / 1e6
     return roofline_report("ofdm_loopback(tx+sync+chanest+eq+rx)", msps,
-                           2 * 5 * 6 + 48.0, 16.0)
+                           2 * 5 * 6 + 48.0, 16.0,
+                           xla_bytes_accessed(run, st, dev),
+                           B * burst_len)
 
 
 def bench_dvbt_tx():
@@ -217,7 +225,8 @@ def bench_dvbt_tx():
     n_out = int(out.shape[0])
     dt = time_fn_carry(run, st, dev, iters=10)
     msps = n_out / dt / 1e6
-    return roofline_report("dvbt_tx(2k,16qam,1/2)", msps, 115.0, 16.0)
+    return roofline_report("dvbt_tx(2k,16qam,1/2)", msps, 115.0, 16.0,
+                           xla_bytes_accessed(run, st, dev), n_out)
 
 
 def bench_topblock_wbfm():

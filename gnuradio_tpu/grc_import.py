@@ -265,7 +265,13 @@ def _adapters():
     def _mk_dtv(ctor_name):
         def build(p, ns):
             from .ops import dtv_blocks as DB
-            return getattr(DB, ctor_name)(cfg=_dvbt_cfg(p))
+            extra = {}
+            if "direction" in p:
+                d = p["direction"]
+                if isinstance(d, str) and not d.isdigit():
+                    d = 0 if d.lower().startswith("deinter") else 1
+                extra["direction"] = int(d)
+            return getattr(DB, ctor_name)(cfg=_dvbt_cfg(p), **extra)
         return build
 
     def dvbt_conv_interleaver(p, ns):
@@ -334,6 +340,27 @@ def _adapters():
             "dvbt_symbol_inner_interleaver"),
         "dtv_dvbt_map": _mk_dtv("dvbt_map_b"),
         "dtv_dvbt_reference_signals": _mk_dtv("dvbt_reference_signals"),
+        # RX chain (round 4 — dvbt_rx_8k.grc)
+        "dtv_dvbt_ofdm_sym_acquisition": _mk_dtv(
+            "dvbt_ofdm_sym_acquisition"),
+        "dtv_dvbt_demod_reference_signals": _mk_dtv(
+            "dvbt_demod_reference_signals"),
+        "dtv_dvbt_demap": _mk_dtv("dvbt_demap_b"),
+        "dtv_dvbt_bit_inner_deinterleaver": _mk_dtv(
+            "dvbt_bit_inner_deinterleaver"),
+        "dtv_dvbt_viterbi_decoder": _mk_dtv("dvbt_viterbi_decoder"),
+        "dtv_dvbt_convolutional_deinterleaver": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.dtv_blocks", fromlist=["x"]
+        ).DvbtConvolutionalDeinterleaver(),
+        "dtv_dvbt_reed_solomon_dec": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.dtv_blocks", fromlist=["x"]
+        ).DvbtReedSolomonDec(),
+        "dtv_dvbt_energy_descramble": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.dtv_blocks", fromlist=["x"]
+        ).DvbtEnergyDescramble(),
+        "uhd_usrp_source": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.uhd", fromlist=["x"]
+        ).usrp_source(samp_rate=float(p.get("samp_rate", 1e6) or 1e6)),
         "digital_ofdm_cyclic_prefixer": ofdm_cyclic_prefixer,
         "blocks_abs_xx": lambda p, ns: BL.abs_blk(_dtype_of(p)),
         "channels_channel_model": channel_model,
@@ -615,6 +642,30 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             # non-numeric port names are MESSAGE ports ('strobe',
             # 'generate', 'pdus', ... — grc msg connections use names)
             fg.msg_connect(blocks[s], str(sp), blocks[d], str(dp))
+            continue
+        # vlen auto-bridge: reference descriptors freely mix vlen-N vector
+        # ports with our flat-stream block forms (a vlen-N stream of M
+        # items IS an (M, N) array on TPU — core/stream.py). When dtypes
+        # match but one side is flat, splice the explicit reshape block
+        # the reference would use (stream_to_vector / vector_to_stream).
+        try:
+            sspec = blocks[s].out_ports[spi]
+            dspec = blocks[d].in_ports[dpi]
+        except (AttributeError, IndexError):
+            sspec = dspec = None
+        if (sspec is not None and dspec is not None
+                and sspec.dtype == dspec.dtype
+                and sspec.vlen != dspec.vlen
+                and 1 in (sspec.vlen, dspec.vlen)):
+            from .ops.blocks import stream_to_vector, vector_to_stream
+            if sspec.vlen == 1:
+                shim = stream_to_vector(dspec.vlen, dtype=sspec.dtype)
+            else:
+                shim = vector_to_stream(sspec.vlen, dtype=sspec.dtype)
+            shim.name = f"_vlen_bridge_{s}_{sp}_{d}_{dp}"
+            blocks[shim.name] = shim
+            fg.connect((blocks[s], spi), (shim, 0))
+            fg.connect((shim, 0), (blocks[d], dpi))
             continue
         fg.connect((blocks[s], spi), (blocks[d], dpi))
     return TopBlock(fg), blocks

@@ -96,7 +96,10 @@ def acquisition_metrics(x, fft_len: int, cp_len: int, snr_db: float = 20.0):
     return lam, gamma
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("slen",))
 def _fold_metrics(lam, gamma, slen: int):
     ns = lam.shape[0] // slen
     lf = jnp.sum(lam[: ns * slen].reshape(ns, slen), axis=0)
