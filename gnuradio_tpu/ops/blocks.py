@@ -910,6 +910,8 @@ class MessageDebug(Block):
         self.message_port_register_in("store", self.messages.append)
         self.message_port_register_in("print",
                                       lambda m: print(f"[{self.name}] {m}"))
+        self.message_port_register_in("print_pdu",
+                                      lambda m: print(f"[{self.name}] {m}"))
 
     def num_messages(self):
         return len(self.messages)

@@ -33,6 +33,14 @@ from ..core.stream import PortSpec, B, C, F, I
 # ---------------------------------------------------------------------------
 # Constellations
 # ---------------------------------------------------------------------------
+class _CallableInt(int):
+    """int that also answers the reference's method-call syntax
+    (const.arity() in GRC param expressions)."""
+
+    def __call__(self):
+        return int(self)
+
+
 class Constellation:
     """Constellation object: points + bit mapping + decision regions
     (gr::digital::constellation, lib/constellation.cc).
@@ -45,12 +53,20 @@ class Constellation:
     def __init__(self, points, pre_diff_code=None, rotational_symmetry=4,
                  dimensionality=1):
         self.points = np.asarray(points, np.complex64)
-        self.arity = len(self.points)
-        self.bits_per_symbol = int(round(math.log2(self.arity)))
+        # _CallableInt: the reference exposes these as METHODS
+        # (constellation.h arity()/bits_per_symbol()) and GRC expressions
+        # call them; as ints they also work as plain attributes
+        self.arity = _CallableInt(len(self.points))
+        self.bits_per_symbol = _CallableInt(round(math.log2(self.arity)))
         self.pre_diff_code = (np.asarray(pre_diff_code, np.int32)
                               if pre_diff_code is not None else None)
         self.rotational_symmetry = rotational_symmetry
         self.dimensionality = dimensionality
+
+    def base(self):
+        """constellation.base() in GRC expressions returns the underlying
+        constellation object (sptr unwrap in the reference) — identity."""
+        return self
 
     def map_to_points(self, idx):
         """Symbol indices -> complex points (device)."""

@@ -282,18 +282,18 @@ class FllBandEdge(SyncBlock):
         return {"phase": phase, "freq": freq, "hist": hist}, y.astype(C)
 
 
-def cfo_estimate_x4(x):
-    """Chunk-level QPSK carrier-frequency estimator: the 4th power of a QPSK
-    signal has a spectral line at 4*f_cfo; locate it with one FFT and return
-    the estimated CFO in rad/sample. TPU-native replacement for streaming
-    band-edge acquisition (one FFT per chunk instead of a per-sample loop);
-    pull-in range +-pi/4 rad/sample."""
+def cfo_estimate_x4(x, order: int = 4):
+    """Chunk-level M-PSK carrier-frequency estimator: the M-th power of an
+    M-PSK signal has a spectral line at M*f_cfo; locate it with one FFT and
+    return the estimated CFO in rad/sample. TPU-native replacement for
+    streaming band-edge acquisition (one FFT per chunk instead of a
+    per-sample loop); pull-in range +-pi/order rad/sample."""
     n = x.shape[0]
-    s4 = x ** 4
-    S = jnp.fft.fft(s4 * jnp.hanning(n).astype(jnp.float32))
+    sM = x ** order
+    S = jnp.fft.fft(sM * jnp.hanning(n).astype(jnp.float32))
     k = jnp.argmax(jnp.abs(S))
     k = jnp.where(k > n // 2, k - n, k)  # signed bin
-    return (2 * jnp.pi * k / n / 4.0).astype(F)
+    return (2 * jnp.pi * k / n / order).astype(F)
 
 
 class CfoCorrector(SyncBlock):
@@ -302,16 +302,17 @@ class CfoCorrector(SyncBlock):
     phase-continuous NCO. Functional stand-in for fll_band_edge in chunked
     receive chains."""
 
-    def __init__(self, smooth: float = 0.5, name=None):
+    def __init__(self, smooth: float = 0.5, order: int = 4, name=None):
         super().__init__(PortSpec(C), PortSpec(C), name)
         self.smooth = float(smooth)
+        self.order = int(order)
 
     def init_state(self):
         return {"freq": jnp.zeros((), F), "phase": jnp.zeros((), F),
                 "init": jnp.zeros((), jnp.bool_)}
 
     def work(self, state, x):
-        est = cfo_estimate_x4(x)
+        est = cfo_estimate_x4(x, self.order)
         freq = jnp.where(state["init"],
                          state["freq"] + self.smooth * (est - state["freq"]),
                          est)

@@ -173,3 +173,42 @@ def read_meta_file(path: str):
         meta = pmt_codec.deserialize(f.read())
     data = np.fromfile(path, np.dtype(meta["dtype"]))
     return data, meta
+
+
+class FileMetaSink(VectorSink):
+    """gr-blocks file_meta_sink: stream + inline PMT metadata persisted on
+    flush (header sidecar form; the reference interleaves header segments,
+    gr-blocks/include/gnuradio/blocks/file_meta_sink.h)."""
+
+    def __init__(self, path: str, in_port: PortSpec = PortSpec(C),
+                 samp_rate: float = 1.0, extra_meta: dict | None = None,
+                 name=None):
+        super().__init__(in_port, name)
+        self.path = path
+        self.samp_rate = float(samp_rate)
+        self.extra_meta = dict(extra_meta or {})
+
+    def flush(self):
+        meta = {"rx_rate": self.samp_rate, **self.extra_meta}
+        write_meta_file(self.path, self.data(), meta)
+
+
+def file_meta_sink(file, type="complex", samp_rate=1.0, **_):
+    from ..core.stream import dtype_of
+    code = {"complex": "c", "float": "f", "int": "i", "short": "s",
+            "byte": "b"}.get(str(type), "c")
+    return FileMetaSink(str(file), PortSpec(dtype_of(code)), samp_rate)
+
+
+class FileMetaSource(StreamSource):
+    """gr-blocks file_meta_source: replays a metadata-tagged capture; the
+    header's rx_rate/extra keys are exposed as .meta."""
+
+    def __init__(self, path: str, name=None):
+        data, meta = read_meta_file(str(path))
+        self.meta = meta
+        super().__init__(data, out_port=PortSpec(data.dtype.type), name=name)
+
+
+def file_meta_source(file, **_):
+    return FileMetaSource(str(file))

@@ -434,11 +434,20 @@ class RationalResampler(Block):
     arms at input rate (one batched conv) then gather the needed (arm, n)
     pairs — exact, static-shape."""
 
-    def __init__(self, interp: int, decim: int, taps, in_complex=True, name=None):
+    def __init__(self, interp: int, decim: int, taps=None, in_complex=True,
+                 name=None):
         super().__init__(name)
         g = math.gcd(int(interp), int(decim))
         self.L = int(interp) // g
         self.M = int(decim) // g
+        if taps is None or (isinstance(taps, (list, tuple))
+                            and len(taps) == 0):
+            # default design like the reference's rational_resampler.py
+            # wrapper (design_filter): anti-alias LPF at min(1/L, 1/M)
+            from .firdes import low_pass, WIN_KAISER
+            fc = 0.4 / max(self.L, self.M)
+            tw = 0.2 / max(self.L, self.M)
+            taps = low_pass(self.L, 1.0, fc, tw, WIN_KAISER)
         taps = np.asarray(taps)
         t_complex = np.iscomplexobj(taps)
         self.in_ports = (_port_for(in_complex),)

@@ -151,6 +151,17 @@ def band_pass(gain, sampling_freq, low_cutoff, high_cutoff, transition_width,
     return taps.astype(np.float32)
 
 
+def band_reject(gain, sampling_freq, low_cutoff, high_cutoff,
+                transition_width, win=WIN_HAMMING, beta=6.76):
+    """Spectral-inversion band reject: delta - band_pass (firdes.cc
+    band_reject, same windowed-sinc machinery)."""
+    bp = band_pass(1.0, sampling_freq, low_cutoff, high_cutoff,
+                   transition_width, win, beta)
+    taps = -np.asarray(bp)
+    taps[len(taps) // 2] += 1.0
+    return (gain * taps).astype(np.float32)
+
+
 def complex_band_pass(gain, sampling_freq, low_cutoff, high_cutoff,
                       transition_width, win: str = WIN_HAMMING, beta=6.76):
     """Low-pass prototype rotated to the band center (firdes.cc

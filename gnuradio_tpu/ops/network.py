@@ -118,3 +118,25 @@ def udp_sink(host, port, payload_items=1024, header=HEADERTYPE_NONE, dtype=C):
 
 def udp_source(port, header=HEADERTYPE_NONE, timeout=2.0, dtype=C):
     return UdpSource(port, header, timeout, PortSpec(dtype))
+
+
+def tcp_sink(addr="127.0.0.1", port=2000, server=True, dtype=C, vlen=1,
+             **_):
+    """network_tcp_sink (gr-network/lib/tcp_sink_impl.cc): raw TCP stream
+    sink. Server mode binds and waits for one peer (the reference default);
+    frames ride this package's framed transport (tags in-band — a superset
+    of the reference's raw byte stream)."""
+    from ..parallel.transport import StreamServer, TcpStreamSink
+    from ..core.stream import PortSpec
+    return TcpStreamSink(StreamServer(str(addr), int(port)),
+                         PortSpec(dtype, int(vlen or 1)))
+
+
+def tcp_source(addr="127.0.0.1", port=2000, dtype=C, vlen=1, timeout=10.0,
+               **_):
+    """network_tcp_source: connects (lazily, with retry) and streams."""
+    from ..parallel.transport import StreamClient, TcpStreamSource
+    from ..core.stream import PortSpec
+    return TcpStreamSource(StreamClient(str(addr), int(port),
+                                        float(timeout)),
+                           PortSpec(dtype, int(vlen or 1)))

@@ -117,15 +117,42 @@ class StreamServer:
 
 
 class StreamClient:
-    """PULL-side: connects and reads frames."""
+    """PULL-side: connects and reads frames. Connection is LAZY with
+    retries so graph construction order (client blocks may be built before
+    the server binds, as in one-process loopback .grc files) doesn't
+    matter — same contract as ZMQ connect."""
 
-    def __init__(self, addr: str, port: int, timeout: float = 10.0):
-        self._sock = socket.create_connection((addr, port), timeout=timeout)
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    def __init__(self, addr: str, port: int, timeout: float = 10.0,
+                 lazy: bool = False):
+        self._addr, self._port, self._timeout = addr, int(port), timeout
+        self._sock = None
+        if not lazy:
+            self._connect()
+
+    def _connect(self):
+        import time as _time
+        deadline = _time.time() + self._timeout
+        last = None
+        while _time.time() < deadline:
+            try:
+                self._sock = socket.create_connection(
+                    (self._addr, self._port), timeout=self._timeout)
+                self._sock.setsockopt(socket.IPPROTO_TCP,
+                                      socket.TCP_NODELAY, 1)
+                return
+            except OSError as e:
+                last = e
+                _time.sleep(0.05)
+        raise last
+
+    def _ensure(self):
+        if self._sock is None:
+            self._connect()
 
     def recv_frame(self):
         """-> (kind, offset, nitems, itemsize, tags, payload) or None on
         EOF."""
+        self._ensure()
         hdr = _read_exact(self._sock, 4)
         if hdr is None:
             return None
@@ -150,7 +177,8 @@ class StreamClient:
         return pmt.deserialize(fr[5])
 
     def close(self):
-        self._sock.close()
+        if self._sock is not None:
+            self._sock.close()
 
 
 # ---------------------------------------------------------------------------
@@ -337,10 +365,12 @@ class RepServer:
 class ReqClient:
     """REQ-side: requests batches of items (zeromq::req_source analog)."""
 
-    def __init__(self, addr: str, port: int, timeout: float = 10.0):
-        self._cli = StreamClient(addr, port, timeout)
+    def __init__(self, addr: str, port: int, timeout: float = 10.0,
+                 lazy: bool = False):
+        self._cli = StreamClient(addr, port, timeout, lazy=lazy)
 
     def request_items(self, count: int, dtype):
+        self._cli._ensure()
         self._cli._sock.sendall(struct.pack("<I", count))
         return self._cli.recv_items(np.dtype(dtype))
 
@@ -366,3 +396,194 @@ class MsgSubSource:
 
     def recv(self):
         return self.client.recv_message()
+
+
+# ---------------------------------------------------------------------------
+# GRC-facing block factories in reference naming
+# (gr-zeromq/include/gnuradio/zeromq/ twelve block types). Address syntax is
+# the reference's "tcp://host:port" ("*" binds all interfaces); the wire is
+# this module's framed TCP (tags in-band), the pattern semantics map
+# PUSH/PULL -> StreamServer/StreamClient, PUB/SUB -> PubServer fan-out,
+# REQ/REP -> RepServer pull-backpressure.
+# ---------------------------------------------------------------------------
+
+def _parse_address(address: str):
+    a = str(address)
+    if "://" in a:
+        a = a.split("://", 1)[1]
+    host, _, port = a.rpartition(":")
+    host = host or "127.0.0.1"
+    if host in ("*", "0.0.0.0"):
+        host = "0.0.0.0"
+    return host, int(port)
+
+
+def _spec(dtype=C, vlen=1):
+    from ..core.stream import dtype_of
+    if isinstance(dtype, str):
+        dtype = dtype_of({"complex": "c", "float": "f", "int": "i",
+                          "short": "s", "byte": "b"}.get(dtype, dtype))
+    return PortSpec(dtype, int(vlen or 1))
+
+
+def push_sink(address="tcp://127.0.0.1:0", type=C, vlen=1, **_):
+    host, port = _parse_address(address)
+    return TcpStreamSink(StreamServer(host, port), _spec(type, vlen))
+
+
+def pull_source(address="tcp://127.0.0.1:0", type=C, vlen=1, timeout=10.0,
+                **_):
+    host, port = _parse_address(address)
+    return TcpStreamSource(StreamClient(host, port, float(timeout), lazy=True),
+                           _spec(type, vlen))
+
+
+def pub_sink(address="tcp://127.0.0.1:0", type=C, vlen=1, **_):
+    host, port = _parse_address(address)
+    return TcpStreamSink(PubServer(host, port), _spec(type, vlen))
+
+
+def sub_source(address="tcp://127.0.0.1:0", type=C, vlen=1, timeout=10.0,
+               **_):
+    # SUB wire-side == PULL (SubClient = StreamClient)
+    host, port = _parse_address(address)
+    return TcpStreamSource(SubClient(host, port, float(timeout), lazy=True),
+                           _spec(type, vlen))
+
+
+class RepStreamSink(SinkBlock):
+    """zeromq::rep_sink analog: collected chunks are served on request by
+    a background thread (pull-based backpressure rides the request side)."""
+
+    def __init__(self, server: RepServer, in_port: PortSpec = PortSpec(C),
+                 name=None):
+        super().__init__(in_port, name)
+        self.server = server
+        self._thread = None
+
+    def collect(self, value):
+        self.server.feed(np.asarray(value))
+        if self._thread is None:
+            t = threading.Thread(target=self._serve, daemon=True)
+            t.start()
+            self._thread = t
+
+    def _serve(self):
+        try:
+            while self.server.serve_once():
+                pass
+        except OSError:
+            pass
+
+
+def rep_sink(address="tcp://127.0.0.1:0", type=C, vlen=1, **_):
+    host, port = _parse_address(address)
+    return RepStreamSink(RepServer(host, port), _spec(type, vlen))
+
+
+class ReqStreamSource(SourceBlock):
+    """zeromq::req_source analog: requests item batches on demand."""
+
+    is_fed = True
+
+    def __init__(self, client: ReqClient, out_port: PortSpec = PortSpec(C),
+                 name=None):
+        super().__init__(out_port, name)
+        self.client = client
+        self.items_supplied = 0
+
+    def chunks(self, n: int):
+        np_dtype = np.dtype(self.out_ports[0].dtype)
+        self.items_supplied = 0
+        while True:
+            got = self.client.request_items(n, np_dtype)
+            if got is None:
+                return
+            arr, _, _tags = got
+            if arr.shape[0] == 0:
+                return
+            self.items_supplied += arr.shape[0]
+            if arr.shape[0] < n:
+                arr = np.concatenate([arr, np.zeros(n - arr.shape[0],
+                                                    np_dtype)])
+            yield host_encode(arr)
+
+    def apply(self, state, inputs, n_in):
+        return state, (inputs[0],)
+
+
+def req_source(address="tcp://127.0.0.1:0", type=C, vlen=1, timeout=10.0,
+               **_):
+    host, port = _parse_address(address)
+    return ReqStreamSource(ReqClient(host, port, float(timeout), lazy=True),
+                           _spec(type, vlen))
+
+
+class ZmqMsgSink(SinkBlock):
+    """Message-variant sinks (pub_msg_sink / push_msg_sink / rep_msg_sink):
+    PMTs posted to the 'in' message port go out over the wire."""
+
+    def __init__(self, server, name=None):
+        super().__init__(PortSpec(C), name)
+        self.server = server
+        self.message_port_register_in("in", self._on_msg)
+
+    def _on_msg(self, msg):
+        self.server.send_message(msg)
+
+    def collect(self, value):   # stream port unused; msg-only block
+        pass
+
+
+class ZmqMsgSource(SourceBlock):
+    """Message-variant sources: polls the wire and publishes PMTs on the
+    'out' message port each step."""
+
+    is_fed = False
+
+    def __init__(self, client, name=None):
+        super().__init__(PortSpec(C), name)
+        self.client = client
+        self.message_port_register_out("out")
+
+    def msg_work(self, step_index):
+        try:
+            self.client._ensure()
+            self.client._sock.settimeout(0.05)
+            while True:
+                m = self.client.recv_message()
+                if m is None:
+                    return
+                self.post("out", m)
+        except (socket.timeout, OSError):
+            pass
+
+
+def pub_msg_sink(address="tcp://127.0.0.1:0", **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSink(PubServer(host, port))
+
+
+def push_msg_sink(address="tcp://127.0.0.1:0", **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSink(StreamServer(host, port))
+
+
+def rep_msg_sink(address="tcp://127.0.0.1:0", **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSink(StreamServer(host, port))
+
+
+def sub_msg_source(address="tcp://127.0.0.1:0", timeout=10.0, **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSource(StreamClient(host, port, float(timeout), lazy=True))
+
+
+def pull_msg_source(address="tcp://127.0.0.1:0", timeout=10.0, **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSource(StreamClient(host, port, float(timeout), lazy=True))
+
+
+def req_msg_source(address="tcp://127.0.0.1:0", timeout=10.0, **_):
+    host, port = _parse_address(address)
+    return ZmqMsgSource(StreamClient(host, port, float(timeout), lazy=True))
