@@ -48,9 +48,11 @@ def bench_wbfm():
 
 
 def bench_channelizer():
+    """Round-4 fused form: Pallas arm-conv + DFT kernel in the natural
+    (T, M) layout + transpose-free (T, C) resampler (kernels/pfb_pallas.py)."""
     import jax
     from jax import lax
-    from gnuradio_tpu.models.channelize import make_channelizer_step
+    from gnuradio_tpu.models.channelize import make_channelizer_step_fused as make_channelizer_step
     init, step, meta = make_channelizer_step(6_400_000.0, 64,
                                              resample_rate=0.9375)
     from gnuradio_tpu.models.channelize import channelizer_taps, resampler_taps

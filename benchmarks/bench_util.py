@@ -137,8 +137,19 @@ def roofline_report(name, msps, flops_per_sample, bytes_per_sample,
         rep["hbm_traffic_source"] = "min_stream_bytes"
     if mfu >= 0.5:
         bound = "mxu"
-    elif bwu >= 0.5:
+    elif 0.5 <= bwu <= 2.0:
+        # the cost model's bytes explain >= half the step at the measured
+        # HBM rate (ratios slightly above 1 mean the model over-counts by
+        # that factor and the chip is pinned at the roofline)
         bound = "hbm"
+    elif bwu > 2.0:
+        # model bytes would need > 2x the observed step time at peak HBM —
+        # the cost model materially over-counts (e.g. gathers) and the
+        # binding constraint can't be attributed to HBM from it
+        bound = "dispatch+materialization"
+        rep["note"] = ("xla cost model exceeds the measured HBM roofline "
+                       f"{bwu:.1f}x — bytes-accessed over-count; bound "
+                       "attributed to materialization+dispatch")
     else:
         bound = "dispatch+materialization"
     rep["bound"] = bound

@@ -133,6 +133,38 @@ class PfbChannelizer(Block):
         64-ch config's arm build)."""
         return _arm_rows(xp, self.M, self.L - 1 + nout_per_row)
 
+    def _ifft_rows(self, V):
+        """y = M * IFFT along axis 0. For M <= 256 this is ONE plane matmul
+        E @ V with E[c, m] = e^{+2j pi c m / M} — the XLA small-N FFT
+        custom call costs ~10x more in dispatch/layout than the MXU matmul
+        (same finding as ops/ofdm.dft_apply, round 3)."""
+        M = self.M
+        if M > 256:
+            return (jnp.fft.ifft(V, axis=0) * M).astype(C)
+        if not hasattr(self, "_E"):
+            k = np.arange(M)
+            E = np.exp(2j * np.pi * np.outer(k, k) / M)
+            self._E = (E.real.astype(np.float32), E.imag.astype(np.float32))
+        Er, Ei = (jnp.asarray(self._E[0]), jnp.asarray(self._E[1]))
+        Vr, Vi = jnp.real(V), jnp.imag(V)
+        mm = lambda a, b: jnp.matmul(a, b,  # noqa: E731
+                                     precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(mm(Er, Vr) - mm(Ei, Vi),
+                               mm(Er, Vi) + mm(Ei, Vr)).astype(C)
+
+    def apply_batched(self, state, x):
+        """Fast-path step: (state, x[(n,)]) -> (state, Y[(M, n/M)]) with no
+        per-channel tuple round-trip (the graph-block apply() slices into M
+        streams for port fan-out; model/bench steps keep the batch form)."""
+        M, L = self.M, self.L
+        assert self.R == M, "apply_batched: maximally-decimated form only"
+        xp = jnp.concatenate([state, x], axis=0)
+        tail = xp[xp.shape[0] - (L * M - 1):]
+        T = x.shape[0] // M
+        U = self._arm_signals(xp, T)
+        V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
+        return tail, self._ifft_rows(V)
+
     def apply(self, state, inputs, n_in):
         x = inputs[0]
         M, L = self.M, self.L
@@ -142,7 +174,7 @@ class PfbChannelizer(Block):
             T = x.shape[0] // M
             U = self._arm_signals(xp, T)
             V = fir_apply_batched(U, jnp.asarray(self.arms), 1)  # (M, T)
-            Y = (jnp.fft.ifft(V, axis=0) * M).astype(C)
+            Y = self._ifft_rows(V)
             return tail, tuple(Y[c] for c in range(M))
         # oversampled path
         Tb = x.shape[0] // M               # input M-blocks this step
@@ -161,7 +193,23 @@ class PfbChannelizer(Block):
         sel = (np.arange(Ts)[None, None, :] * self.K +
                self._adv.reshape(self.O, M)[:, :, None])  # (O, M, Ts)
         Vt = jnp.take_along_axis(V, jnp.asarray(sel), axis=2)  # (O, M, Ts)
-        Y = (jnp.fft.ifft(Vt, axis=1) * M).astype(C)      # (O, M, Ts)
+        if M <= 256:
+            # DFT as plane matmul over the middle axis (see _ifft_rows)
+            if not hasattr(self, "_E"):
+                k = np.arange(M)
+                E = np.exp(2j * np.pi * np.outer(k, k) / M)
+                self._E = (E.real.astype(np.float32),
+                           E.imag.astype(np.float32))
+            Er, Ei = (jnp.asarray(self._E[0]), jnp.asarray(self._E[1]))
+            Vr = jnp.real(Vt).astype(jnp.float32)
+            Vi = jnp.imag(Vt).astype(jnp.float32)
+            em = lambda W, X: jnp.einsum(  # noqa: E731
+                "cm,pmt->pct", W, X,
+                precision=jax.lax.Precision.HIGHEST)
+            Y = jax.lax.complex(em(Er, Vr) - em(Ei, Vi),
+                                em(Er, Vi) + em(Ei, Vr)).astype(C)
+        else:
+            Y = (jnp.fft.ifft(Vt, axis=1) * M).astype(C)  # (O, M, Ts)
         # down-mix residue: y_c[t] = e^{-j2pi c tR/M} * (analysis output);
         # for R = M this is 1, for R < M it is the per-phase rotation
         # e^{-j2pi c pR/M} (the reference's idxlut "FFT shift on every
@@ -431,6 +479,31 @@ class PfbArbResampler(Block):
         else:
             Y = mm(F.astype(jnp.float32))
         return Y.reshape(B, G * t * P)[:, :n_out]
+
+    def resample_batched_tc(self, yp_r, yp_i):
+        """Natural-layout form: (L + n, C) f32 PLANES in, ((n_out, C) r,
+        (n_out, C) i) planes out. Frames along t are flat shifted reshapes
+        at row (C) granularity — no per-channel vmap, no transpose; pairs
+        with kernels/pfb_pallas.pfb_channelize_fused."""
+        from ..kernels.fir_xla import _frame
+        assert self.TM is not None, "tile path required for tc form"
+        Lh = self.L
+        n = yp_r.shape[0] - Lh
+        Cc = yp_r.shape[1]
+        n_out = n * self.P // self.Q
+        t, P, Q = self.tile_groups, self.P, self.Q
+        G = -(-n_out // (t * P))
+        hop = t * Q
+        TMj = jnp.asarray(self.TM)                   # (Wd, t*P)
+
+        def one(plane):
+            F = _frame(plane.reshape(-1), G, hop * Cc,
+                       self.Wd * Cc).reshape(G, self.Wd, Cc)
+            Y = jnp.einsum("gwc,wj->gjc", F, TMj,
+                           precision=jax.lax.Precision.HIGHEST)
+            return Y.reshape(G * t * P, Cc)[:n_out]
+
+        return one(yp_r), one(yp_i)
 
     @property
     def in_rates(self):
