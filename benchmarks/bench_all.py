@@ -64,17 +64,15 @@ def bench_channelizer():
     n = (1 << 22)
     n = (n // meta["in_multiple"]) * meta["in_multiple"]
 
-    @jax.jit
-    def run(state, iq):
-        return step(state, lax.complex(iq[:, 0], iq[:, 1]))
+    run = jax.jit(step)   # fused step takes (n, 2) f32 IQ planes directly
 
     iq = jax.jit(lambda: 0.5 * jax.random.normal(
         jax.random.PRNGKey(1), (n, 2), dtype="float32"))()
     st = jax.jit(init)()
     dt = time_fn_carry(run, st, iq, iters=10)
     msps = n / dt / 1e6
-    return roofline_report("pfb_channelizer_64ch+arb_resampler", msps,
-                           float(flops), 8.0 + 7.5,
+    return roofline_report("pfb_channelizer_64ch+arb_resampler(fused)",
+                           msps, float(flops), 8.0 + 7.5,
                            xla_bytes_accessed(run, st, iq), n)
 
 

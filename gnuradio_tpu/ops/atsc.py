@@ -491,7 +491,7 @@ def atsc_rx_fields(rs_segments):
 # RX front end: FPLL, timing sync, field-sync checker, LMS equalizer
 # ---------------------------------------------------------------------------
 
-def fpll(iq, rate, alpha: float = 0.01):
+def fpll(iq, rate, alpha: float = 0.01, init=None):
     """Carrier tracking FPLL (atsc_fpll_impl.cc): NCO mix -> real output;
     frequency/phase loop driven by fast_atan2 of a single-pole-IIR-smoothed
     mixed signal. One lax.scan over samples (inherently sequential loop).
@@ -517,8 +517,9 @@ def fpll(iq, rate, alpha: float = 0.01):
         freq = freq + beta * x
         return (phase, freq, avg), jnp.real(mixed)
 
-    init = (jnp.float32(0.0), jnp.float32(freq0),
-            jax.lax.complex(jnp.float32(0.0), jnp.float32(0.0)))
+    if init is None:
+        init = (jnp.float32(0.0), jnp.float32(freq0),
+                jax.lax.complex(jnp.float32(0.0), jnp.float32(0.0)))
     state, out = jax.lax.scan(step, init, iq)
     return out, state
 
@@ -709,4 +710,6 @@ def equalize(segments, is_fs, fs_field2, taps=None):
         (ext, jnp.asarray(np.asarray(is_fs)), jnp.asarray(
             np.asarray(fs_field2))))
     keep = ~np.asarray(is_fs)
-    return np.asarray(filtered)[keep], taps
+    # static boolean mask -> static-index gather; stays traceable (the
+    # round-4 streaming block jits this path)
+    return filtered[np.nonzero(keep)[0]], taps
