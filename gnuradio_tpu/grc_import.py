@@ -827,7 +827,9 @@ def _generic_build(factory, params, ns):
                 if pname in cands and gname in params:
                     val = params[gname]
                     break
-        if val is not None and val != "":
+        nonempty = val is not None and not (isinstance(val, str)
+                                            and val == "")
+        if nonempty:
             kwargs[pname] = val
         elif pobj.default is inspect.Parameter.empty:
             raise ValueError(
@@ -901,6 +903,46 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
     if extra_adapters:
         adapters.update(extra_adapters)
 
+    # virtual_sink/virtual_source: GRC wiring aliases — edges into a
+    # virtual_sink(stream_id) reconnect to every consumer of the matching
+    # virtual_source(stream_id) (grc/core/FlowGraph.py resolution)
+    vsink, vsrc = {}, {}
+    for b in doc.get("blocks", []):
+        if not isinstance(b, dict):
+            continue
+        if b.get("id") in ("virtual_sink", "virtual_source"):
+            sid = str((b.get("parameters") or {}).get("stream_id", ""))
+            (vsink if b["id"] == "virtual_sink" else vsrc).setdefault(
+                sid, []).append(b["name"])
+    if vsink or vsrc:
+        name2sid = {}
+        for sid, names in vsink.items():
+            for nm in names:
+                name2sid[nm] = ("sink", sid)
+        for sid, names in vsrc.items():
+            for nm in names:
+                name2sid[nm] = ("src", sid)
+        feeders = {}                       # sid -> [(block, port)]
+        consumers = {}                     # sid -> [(block, port)]
+        real_conns = []
+        for conn in doc.get("connections", []):
+            s, sp, d, dp = conn
+            if d in name2sid and name2sid[d][0] == "sink":
+                feeders.setdefault(name2sid[d][1], []).append((s, sp))
+            elif s in name2sid and name2sid[s][0] == "src":
+                consumers.setdefault(name2sid[s][1], []).append((d, dp))
+            else:
+                real_conns.append(conn)
+        for sid, fs in feeders.items():
+            for (s, sp) in fs:
+                for (d, dp) in consumers.get(sid, []):
+                    real_conns.append([s, sp, d, dp])
+        doc = dict(doc)
+        doc["connections"] = real_conns
+        doc["blocks"] = [b for b in doc.get("blocks", [])
+                         if not (isinstance(b, dict)
+                                 and b.get("name") in name2sid)]
+
     ns = _base_namespace()
     specs = []
     for bspec in doc.get("blocks", []):
@@ -921,6 +963,8 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             continue
         if btype.startswith("variable"):
             specs.append(("var", bid, (btype, params)))
+            continue
+        if btype in _SKIP_IDS or btype in ("note", "snippet", "options"):
             continue
         specs.append(("block", bid, (btype, params)))
 

@@ -637,3 +637,38 @@ def dvbs2_rx_loopback(plframes, cfg: DVBS2Config):
     cw = deinterleave_bits(syms, cfg)
     bb = bbscramble(cw[..., :cfg.kbch])
     return bb
+
+
+def dvbs2_modulator_bc(constellation="qpsk", rate="", **_):
+    """dvbs2_modulator_bc (dvbs2_modulator_bc_impl.cc): symbol codes ->
+    constellation points. Also serves the MOD_8VSB mode the ATSC TX .grc
+    uses (real bipolar levels 2s-7 + 1.25 pilot as complex)."""
+    import jax.numpy as _jnp
+    from ..core.block import SyncBlock
+    from ..core.stream import PortSpec, B as _B, C as _C
+
+    kind = str(constellation).lower()
+    if "8vsb" in kind or "vsb" in kind:
+        from . import atsc as _atsc
+        table = (_atsc.vsb_map(np.arange(8), pilot=True)
+                 .astype(np.complex64))
+        table = np.asarray(table, np.complex64)
+    else:
+        k = {"mod_qpsk": "qpsk", "mod_8psk": "8psk",
+             "mod_16apsk": "16apsk", "mod_32apsk": "32apsk"}.get(kind, kind)
+        table = constellation_lut(k, str(rate))
+
+    class _Mod(SyncBlock):
+        def __init__(self, name=None):
+            super().__init__(PortSpec(_B), PortSpec(_C), name)
+
+        def work(self, state, x):
+            idx = (x.astype(_jnp.int32) & 0xFF) % table.shape[0]
+            return state, _jnp.asarray(table)[idx]
+
+    return _Mod()
+
+
+# keep the functional name reachable for the factory above without
+# shadowing by the class stub
+constellation_lut = constellation

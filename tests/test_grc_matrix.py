@@ -15,6 +15,7 @@ EXAMPLES = [
     "gr-analog/examples/noise_power.grc",
     "gr-audio/examples/grc/dial_tone.grc",
     "gr-blocks/examples/ctrlport/comparing_resamplers.grc",
+    "gr-blocks/examples/ctrlport/simple_copy.grc",
     "gr-blocks/examples/ctrlport/usrp_source_control.grc",
     "gr-blocks/examples/metadata/file_metadata_sink.grc",
     "gr-blocks/examples/metadata/file_metadata_source.grc",
@@ -31,12 +32,18 @@ EXAMPLES = [
     "gr-channels/examples/demo_spec_an.grc",
     "gr-channels/examples/demo_two_tone.grc",
     "gr-digital/examples/demod/digital_freq_lock.grc",
+    "gr-digital/examples/packet/simple_bpsk_tx.grc",
+    "gr-dtv/examples/dvbs_tx.grc",
     "gr-dtv/examples/dvbt_tx_2k.grc",
+    "gr-dtv/examples/dvbt_tx_8k.grc",
+    "gr-dtv/examples/file_atsc_tx.grc",
     "gr-dtv/examples/uhd_atsc_capture.grc",
+    "gr-dtv/examples/uhd_atsc_tx.grc",
     "gr-fec/examples/fecapi_decoders.grc",
     "gr-fec/examples/fecapi_encoders.grc",
     "gr-fec/examples/fecapi_polar_encoders.grc",
     "gr-fec/examples/fecapi_tagged_encoders.grc",
+    "gr-fec/examples/polar_code_example.grc",
     "gr-filter/examples/filter_taps.grc",
     "gr-filter/examples/polyphase_channelizer_demo.grc",
     "gr-filter/examples/resampler_demo.grc",
