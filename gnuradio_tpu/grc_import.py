@@ -624,6 +624,20 @@ def _adapters():
         "uhd_usrp_sink": lambda p, ns: _null_sink_for(p),
         "fec_extended_encoder": _fec_extended(True),
         "fec_extended_decoder": _fec_extended(False),
+        # fixed-packet ofdm hiers: packet_len rides a GRC variable (the
+        # tagged-stream driver), resolved from the namespace at load
+        "digital_ofdm_tx": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_hier", fromlist=["x"]).ofdm_tx(
+            packet_len=int(ns.get("packet_len",
+                                  p.get("packet_len", 64)) or 64),
+            fft_len=int(p.get("fft_len", 64) or 64),
+            cp_len=int(p.get("cp_len", 16) or 16)),
+        "digital_ofdm_rx": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_hier", fromlist=["x"]).ofdm_rx(
+            packet_len=int(ns.get("packet_len",
+                                  p.get("packet_len", 64)) or 64),
+            fft_len=int(p.get("fft_len", 64) or 64),
+            cp_len=int(p.get("cp_len", 16) or 16)),
     }
 
 

@@ -32,6 +32,7 @@ EXAMPLES = [
     "gr-channels/examples/demo_spec_an.grc",
     "gr-channels/examples/demo_two_tone.grc",
     "gr-digital/examples/demod/digital_freq_lock.grc",
+    "gr-digital/examples/ofdm/ofdm_loopback.grc",
     "gr-digital/examples/packet/simple_bpsk_tx.grc",
     "gr-dtv/examples/dvbs_tx.grc",
     "gr-dtv/examples/dvbt_tx_2k.grc",
