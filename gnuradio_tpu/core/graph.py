@@ -88,9 +88,21 @@ class Flowgraph:
     def msg_connect(self, src: Block, src_port: str, dst: Block, dst_port: str):
         """Async message edge (hier_block2::msg_connect analog)."""
         if src_port not in src._msg_out:
-            raise ValueError(f"{src} has no output message port {src_port!r}")
+            if getattr(src, "accept_any_msg", False):
+                # permissive GUI stand-ins may also declare event ports
+                # (freq sink click-to-tune) that never fire headless
+                src.message_port_register_out(src_port)
+            else:
+                raise ValueError(
+                    f"{src} has no output message port {src_port!r}")
         if dst_port not in dst._msg_in:
-            raise ValueError(f"{dst} has no input message port {dst_port!r}")
+            if getattr(dst, "accept_any_msg", False):
+                # permissive sinks (headless GUI stand-ins) absorb any
+                # control-port message without declaring it up front
+                dst.message_port_register_in(dst_port, lambda _m: None)
+            else:
+                raise ValueError(
+                    f"{dst} has no input message port {dst_port!r}")
         self.add(src, dst)
         self.msg_edges.append((src, src_port, dst, dst_port))
 
@@ -189,9 +201,13 @@ class Flowgraph:
         order = [b for b in self.topological_sort() if b.nin or b.nout]
         if not order:
             return {}
-        # BFS over undirected connectivity, unifying constraints
+        # BFS over undirected connectivity, unifying constraints; a graph
+        # may hold several independent chains (disconnected components) —
+        # each gets its own t=1 anchor (the reference scheduler likewise
+        # runs disjoint subgraphs independently)
         t[order[0]] = Fraction(1)
         pending = [order[0]]
+        seeds = iter(order)
         adj: dict[Block, list] = {b: [] for b in self._blocks}
         for e in self.edges:
             adj[e.src.block].append(("out", e))
@@ -222,6 +238,12 @@ class Flowgraph:
                     else:
                         t[sb] = want
                         pending.append(sb)
+            if not pending:
+                for nb in seeds:
+                    if nb not in t:
+                        t[nb] = Fraction(1)
+                        pending.append(nb)
+                        break
         missing = [b for b in self._blocks if b not in t and (b.nin or b.nout)]
         if missing:
             raise ValueError(f"disconnected blocks (no rate path): {missing}")
@@ -234,6 +256,13 @@ class Flowgraph:
         t = self.solve_rates()
         denom_lcm = 1
         for b, tb in t.items():
+            # whole ACTIVATIONS per step, not just whole item counts: a
+            # block whose in_rate is l items/activation reshapes to
+            # (n_act, l), so S*t[b] itself must be integral (5462 items
+            # into a period-4 stream_mux is integral items but 1365.5
+            # activations).
+            denom_lcm = (denom_lcm * tb.denominator
+                         // gcd(denom_lcm, tb.denominator))
             for r in tuple(b.in_rates) + tuple(b.out_rates):
                 q = tb * r
                 denom_lcm = denom_lcm * q.denominator // gcd(denom_lcm, q.denominator)

@@ -236,6 +236,18 @@ class TopBlock:
                     _collect(sink, host[sink.name])
             pending.clear()
 
+        if not cg.order:
+            # no streaming chain at all (msg-only or variables-only .grc):
+            # pump the message plane alone for a bounded number of ticks —
+            # the analog of a flowgraph whose only work is message handlers
+            # (top_block with zero stream connections runs trivially).
+            if need_msgs:
+                for step_i in range(n_steps if n_steps is not None else 1):
+                    for b in cg.all_blocks():
+                        b.msg_work(step_i)
+                    _dispatch_messages(cg)
+            return self
+
         while steps_limit is None or step_i < steps_limit:
             fed = {}
             exhausted = False

@@ -58,6 +58,25 @@ class _ShimNS(dict):
             raise AttributeError(k)
 
 
+def _generic_mod_expr(constellation, differential=True,
+                      samples_per_symbol=2, pre_diff_code=True,
+                      excess_bw=0.35, verbose=False, log=False, **_):
+    """digital.generic_mod(...) in GRC param expressions — positional
+    argument order follows generic_mod_demod.py:123."""
+    from .ops.digital_hier import GenericMod
+    return GenericMod(constellation, bool(differential),
+                      int(samples_per_symbol), float(excess_bw))
+
+
+def _generic_demod_expr(constellation, differential=True,
+                        samples_per_symbol=2, excess_bw=0.35,
+                        freq_bw=0.06, timing_bw=0.045, phase_bw=0.0628,
+                        pre_diff_code=True, verbose=False, log=False, **_):
+    from .ops.digital_hier import GenericDemod
+    return GenericDemod(constellation, bool(differential),
+                        int(samples_per_symbol), float(excess_bw))
+
+
 def _base_namespace():
     from .ops import firdes as _firdes
     from .ops import analog as _analog
@@ -67,8 +86,24 @@ def _base_namespace():
         GR_TRI_WAVE=_analog.GR_TRI_WAVE, GR_SAW_WAVE=_analog.GR_SAW_WAVE,
         GR_SQR_WAVE=_analog.GR_SQR_WAVE, GR_CONST_WAVE=_analog.GR_CONST_WAVE)
     firdes_shim = _firdes
-    window_shim = _ShimNS({n: getattr(_firdes, n) for n in dir(_firdes)
-                           if n.startswith("WIN_")})
+    window_shim = _ShimNS(
+        {n: getattr(_firdes, n) for n in dir(_firdes)
+         if n.startswith("WIN_")},
+        # callable forms (fft.window.hann(n) in GRC param expressions —
+        # gr-fft/python/fft window helpers)
+        hann=lambda n: _firdes.window(_firdes.WIN_HANN, n),
+        hanning=lambda n: _firdes.window(_firdes.WIN_HANN, n),
+        hamming=lambda n: _firdes.window(_firdes.WIN_HAMMING, n),
+        blackman=lambda n: _firdes.window(_firdes.WIN_BLACKMAN, n),
+        blackman_harris=lambda n, a=92: _firdes.window(
+            _firdes.WIN_BLACKMAN_HARRIS, n),
+        blackmanharris=lambda n, a=92: _firdes.window(
+            _firdes.WIN_BLACKMAN_HARRIS, n),
+        rectangular=lambda n: _firdes.window(_firdes.WIN_RECTANGULAR, n),
+        kaiser=lambda n, beta=6.76: _firdes.window(
+            _firdes.WIN_KAISER, n, beta),
+        flattop=lambda n: _firdes.window(_firdes.WIN_FLATTOP, n),
+        bartlett=lambda n: _firdes.window(_firdes.WIN_BARTLETT, n))
     filter_shim = _ShimNS(firdes=firdes_shim)
     fft_shim = _ShimNS(window=window_shim)
     from .ops import fec as _fec
@@ -95,17 +130,73 @@ def _base_namespace():
             return (list(c.points), list(range(m)))
         return make
 
+    from .ops import digital_packet2 as _dp2
     digital_shim = _ShimNS(
+        header_format_default=_dp2.HeaderFormatDefault,
+        header_format_counter=_dp2.HeaderFormatCounter,
+        header_format_crc=_dp2.HeaderFormatCrc,
+        header_format_ofdm=_dp2.header_format_ofdm,
         constellation_calcdist=_dig.constellation_calcdist,
         constellation_bpsk=_dig.constellation_bpsk,
         constellation_qpsk=_dig.constellation_qpsk,
         constellation_8psk=_dig.constellation_8psk,
         constellation_16qam=_dig.constellation_16qam,
+        # python-level helper aliases (gr-digital/python/digital/psk
+        # constellations module exposes the *_constellation names)
+        bpsk_constellation=_dig.constellation_bpsk,
+        qpsk_constellation=_dig.constellation_qpsk,
+        psk_8_constellation=_dig.constellation_8psk,
+        qam_16_constellation=_dig.constellation_16qam,
         psk_2=_psk_pair(2), psk_4=_psk_pair(4), psk_8=_psk_pair(8),
-        qam_16=_qam_pair(16), qam_64=_qam_pair(64))
+        qam_16=_qam_pair(16), qam_64=_qam_pair(64),
+        THRESHOLD_ABSOLUTE=0, THRESHOLD_DYNAMIC=1,
+        evm_measurement_t_EVM_PERCENT=0, evm_measurement_t_EVM_DB=1,
+        packet_utils=_ShimNS(
+            default_access_code=format(0xACDDA4E2F28C20FC, "064b"),
+            default_preamble=format(0xA4F2, "016b") * 4),
+        generic_mod=_generic_mod_expr, generic_demod=_generic_demod_expr)
+    # pmt/gr shims: GRC tag expressions build tag dicts through
+    # gr.python_to_tag + pmt constructors; values pass through as plain
+    # python objects (core/tags.Tag carries native values)
+    pmt_shim = _ShimNS(
+        intern=lambda s: s, string_to_symbol=lambda s: s,
+        from_long=int, from_float=float, from_double=float,
+        from_bool=bool, to_pmt=lambda v: v, PMT_T=True, PMT_F=False,
+        PMT_NIL=None, make_dict=lambda: {},
+        mp=lambda *a: a if len(a) != 1 else a[0])
+
+    def _python_to_tag(d):
+        from .core.tags import Tag
+        return Tag(int(d.get("offset", 0)), d.get("key"),
+                   d.get("value"), d.get("srcid", ""))
+
+    gr_shim = _ShimNS(
+        python_to_tag=_python_to_tag, tag_t=_python_to_tag,
+        prefix=lambda: "/usr/local",   # install-prefix data paths are
+                                       # remapped by _read_alist_any
+        GR_MSB_FIRST="MSB", GR_LSB_FIRST="LSB",
+        sizeof_gr_complex=8, sizeof_float=4, sizeof_int=4,
+        sizeof_short=2, sizeof_char=1)
+    from .ops import trellis_blocks as _tb
+    from .ops import trellis as _tr
+    trellis_shim = _ShimNS(
+        fsm=_tb.fsm, interleaver=_tb.interleaver,
+        TRELLIS_MIN_SUM=_tb.TRELLIS_MIN_SUM,
+        TRELLIS_SUM_PRODUCT=_tb.TRELLIS_SUM_PRODUCT,
+        TRELLIS_EUCLIDEAN=_tr.TRELLIS_EUCLIDEAN,
+        TRELLIS_HARD_SYMBOL=_tr.TRELLIS_HARD_SYMBOL)
+    fu_shim = _ShimNS(
+        pam2=_tb.pam2, pam4=_tb.pam4, pam8=_tb.pam8,
+        psk4=_tb.psk4, psk8=_tb.psk8, psk2x2=_tb.psk2x2,
+        psk2x3=_tb.psk2x3, c_channel=_tb.c_channel,
+        make_isi_lookup=_tb.make_isi_lookup)
+    digital_shim["TRELLIS_EUCLIDEAN"] = _tr.TRELLIS_EUCLIDEAN
+    digital_shim["TRELLIS_HARD_SYMBOL"] = _tr.TRELLIS_HARD_SYMBOL
     return {
         "fec": fec_shim,
         "digital": digital_shim,
+        "pmt": pmt_shim, "gr": gr_shim,
+        "trellis": trellis_shim, "fu": fu_shim, "fsm_utils": fu_shim,
         "math": math, "np": np, "numpy": np,
         "firdes": firdes_shim, "analog": analog_shim,
         "filter": filter_shim, "fft": fft_shim, "window": window_shim,
@@ -113,8 +204,13 @@ def _base_namespace():
         # safe builtins GRC param expressions rely on
         "int": int, "float": float, "complex": complex, "bool": bool,
         "str": str, "len": len, "abs": abs, "min": min, "max": max,
-        "round": round, "pow": pow, "range": range, "list": list,
-        "sum": sum,
+        # range as a LIST: py2-era GRC expressions concatenate ranges
+        # (range(-26,-21) + range(-20,-7) ...)
+        "round": round, "pow": pow, "range": lambda *a: list(range(*a)),
+        "list": list,
+        "sum": sum, "map": map, "filter": filter, "zip": zip,
+        "tuple": tuple, "sorted": sorted, "enumerate": enumerate,
+        "dict": dict, "set": set, "ord": ord, "chr": chr,
     }
 
 
@@ -127,7 +223,9 @@ def _eval(expr, ns):
     if s == "":
         return ""
     try:
-        return eval(s, {"__builtins__": {}}, ns)  # noqa: S307 — GRC params
+        # ns rides in globals (not locals) so lambda/comprehension bodies —
+        # which only see the global scope — still resolve the shim names
+        return eval(s, {**ns, "__builtins__": {}}, ns)  # noqa: S307
     except Exception:
         return s  # bare strings (file paths, labels) pass through
 
@@ -150,6 +248,8 @@ def _null_sink_for(params):
 class _MultiNullSink(_SinkBase):
     """Headless stand-in for multi-connection qtgui sinks: N inputs, one
     scalar tap (sum of magnitudes x 0)."""
+
+    accept_any_msg = True
 
     def __init__(self, port: PortSpec, n: int, name=None):
         super().__init__(port, name)
@@ -175,6 +275,46 @@ def _cc_mode(p):
     return int(m)
 
 
+class _LdpcMat(np.ndarray):
+    """alist matrix tagged with its role (G generator / H parity)."""
+    kind = "H"
+
+
+def _read_alist_any(path: str) -> np.ndarray:
+    """read_alist with the reference's install-prefix paths remapped to the
+    in-tree data directory (gr-fec/ldpc_alist ships the same .alist files
+    the build installs under share/gnuradio/fec/ldpc)."""
+    import os
+    from .ops.fec_ldpc import read_alist
+    if not os.path.exists(path):
+        cand = os.path.join("/root/reference/gr-fec/ldpc_alist",
+                            os.path.basename(path.replace('"', "")
+                                             .replace("'", "").strip()))
+        if os.path.exists(cand):
+            path = cand
+    return read_alist(path)
+
+
+def _ldpc_as_H(m) -> np.ndarray:
+    """Normalize an LDPC matrix object to a parity-check matrix. A
+    systematic generator G = [I_k | P] (k x n) maps to H = [P^T | I_{n-k}]
+    (standard duality); H matrices pass through."""
+    arr = np.asarray(m).astype(np.int8) % 2
+    if getattr(m, "kind", "H") != "G":
+        return arr
+    k, n = arr.shape
+    if k > n:            # stored transposed
+        arr = arr.T
+        k, n = arr.shape
+    if np.array_equal(arr[:, :k], np.eye(k, dtype=np.int8)):
+        P = arr[:, k:]
+    elif np.array_equal(arr[:, n - k:], np.eye(k, dtype=np.int8)):
+        P = arr[:, : n - k]
+    else:
+        raise ValueError("generator matrix is not in systematic form")
+    return np.concatenate([P.T, np.eye(n - k, dtype=np.int8)], axis=1)
+
+
 def _vardef_value(btype: str, p: dict, ns: dict):
     """Object denoted by a variable_*_def / taps / constellation descriptor
     (the GRC yml templates call the reference's make functions; here the
@@ -196,15 +336,31 @@ def _vardef_value(btype: str, p: dict, ns: dict):
         return FA.DummyCode(fs)
     if btype in ("variable_ldpc_encoder_def", "variable_ldpc_decoder_def",
                  "variable_ldpc_encoder_H_def", "variable_ldpc_decoder_H_def",
-                 "variable_ldpc_bit_flip_decoder_def"):
-        from .ops.fec_ldpc import LdpcCode as _L, read_alist
-        f = p.get("file", p.get("filename"))
-        H = read_alist(str(f))
-        return FA.LdpcCode(_L(H))
-    if btype in ("variable_ldpc_G_matrix_def", "variable_ldpc_H_matrix_def",
+                 "variable_ldpc_bit_flip_decoder_def",
                  "variable_ldpc_encoder_G_def"):
-        from .ops.fec_ldpc import read_alist
-        return read_alist(str(p.get("filename", p.get("file"))))
+        from .ops.fec_ldpc import LdpcCode as _L
+        m = p.get("matrix_object", p.get("G", p.get("H")))
+        if m is not None and not isinstance(m, str):
+            return FA.LdpcCode(_L(_ldpc_as_H(m)))
+        f = p.get("file", p.get("filename"))
+        return FA.LdpcCode(_L(_read_alist_any(str(f))))
+    if btype in ("variable_ldpc_G_matrix_def", "variable_ldpc_H_matrix_def"):
+        arr = _read_alist_any(str(p.get("filename", p.get("file"))))
+        arr = arr.view(_LdpcMat)
+        arr.kind = "G" if "G_matrix" in btype else "H"
+        return arr
+    if btype == "variable_modulate_vector":
+        from .ops.digital_packet2 import modulate_vector_bc
+        mod = p.get("mod")
+        if mod is None or isinstance(mod, str):
+            # not a KeyError: the modulator variable may simply be defined
+            # later — a retryable condition in the multi-pass resolver
+            raise ValueError("modulate_vector: modulator did not resolve")
+        data = np.asarray(p.get("data"), np.int64).astype(np.uint8)
+        taps = p.get("taps")
+        if isinstance(taps, str):
+            taps = None
+        return np.asarray(modulate_vector_bc(mod, data.view(np.int8), taps))
     if btype == "variable_polar_code_configurator":
         n = int(p.get("block_size", 64) or 64)
         k = int(p.get("num_info_bits", 32) or 32)
@@ -310,7 +466,7 @@ VARDEF_IDS = frozenset({
     "variable_low_pass_filter_taps", "variable_high_pass_filter_taps",
     "variable_band_pass_filter_taps", "variable_band_reject_filter_taps",
     "variable_rrc_filter_taps", "variable_file_filter_taps",
-    "variable_tag_object",
+    "variable_tag_object", "variable_modulate_vector",
 })
 
 
@@ -430,8 +586,12 @@ def _adapters():
         import numpy as _np
         t = {C: jnp.complex64, F: jnp.float32, I: jnp.int32,
              S: jnp.int16, B: jnp.int8}[_dtype_of(p)]
+        from .core.tags import Tag as _Tag
+        tags = [tg for tg in (p.get("tags") or [])
+                if isinstance(tg, _Tag)] if not isinstance(
+                    p.get("tags"), str) else []
         return BL.vector_source(np.asarray(p["vector"]), bool(p.get(
-            "repeat", False) in (True, "True", "yes")), dtype=t)
+            "repeat", False) in (True, "True", "yes")), dtype=t, tags=tags)
 
     def freq_mod(p, ns):
         return A.frequency_modulator_fc(p["sensitivity"])
@@ -552,7 +712,59 @@ def _adapters():
             cp = cp[0]
         return DvbtCyclicPrefixer(fft_len, int(cp or 0))
 
+    def chunks_to_symbols(p, ns):
+        from .ops.digital import ChunksToSymbols
+
+        def norm(v, default):
+            # GRC type params may eval to the python builtins (ns maps
+            # 'float'/'complex'/'int' to them for expressions)
+            if v in (float, "float", "f"):
+                return "float"
+            if v in (complex, "complex", "c"):
+                return "complex"
+            if v in (int, "int", "i"):
+                return "int"
+            return str(v) if v is not None else default
+        in_t = {"byte": B, "short": S, "int": I,
+                "float": F, "complex": C}.get(
+                    norm(p.get("in_type"), "byte"), B)
+        out_t = F if norm(p.get("out_type"), "complex") == "float" else C
+        return ChunksToSymbols(np.asarray(p["symbol_table"]).reshape(-1),
+                               int(p.get("dimension", 1) or 1), in_t, out_t)
+
+    def _alg_fields(p):
+        alg = p.get("alg") or {}
+        if not isinstance(alg, dict):
+            alg = {}
+        pts = alg.get("cons")
+        if pts is not None and not isinstance(pts, (list, tuple, np.ndarray)):
+            pts = getattr(pts, "points", None)
+        return (str(alg.get("type", "lms")), float(alg.get("step_size",
+                                                           0.01)),
+                float(alg.get("modulus", 1.0)), pts)
+
+    def linear_eq(p, ns):
+        from .ops.equalizers import linear_equalizer
+        a, mu, mod, pts = _alg_fields(p)
+        ts = p.get("training_sequence")
+        return linear_equalizer(int(p.get("num_taps", 8) or 8),
+                                int(p.get("sps", 1) or 1), a, mu, mod, pts,
+                                None if isinstance(ts, str) else ts)
+
+    def dfe_eq(p, ns):
+        from .ops.equalizers import decision_feedback_equalizer
+        a, mu, mod, pts = _alg_fields(p)
+        ts = p.get("training_sequence")
+        return decision_feedback_equalizer(
+            int(p.get("num_taps_fwd", 8) or 8),
+            int(p.get("num_taps_rev", p.get("num_taps_fb", 3)) or 3),
+            int(p.get("sps", 1) or 1), a, mu, mod, pts,
+            None if isinstance(ts, str) else ts)
+
     return {
+        "digital_linear_equalizer": linear_eq,
+        "digital_decision_feedback_equalizer": dfe_eq,
+        "digital_chunks_to_symbols_xx": chunks_to_symbols,
         "analog_sig_source_x": sig_source,
         "analog_noise_source_x": noise_source,
         "analog_frequency_modulator_fc": freq_mod,
@@ -687,6 +899,7 @@ _PARAM_ALIASES = {
     "freq": ["frequency", "freq"],
     "amp": ["amplitude", "amp"],
     "const": ["const", "k", "constant"],
+    "cons": ["points", "constellation", "cons"],
     "vlen": ["vlen"],
     "seed": ["seed"],
     "taps": ["taps"],
@@ -767,6 +980,9 @@ _REF_ALIASES = {
     "qtgui_eye_sink_x": "EyeSink",
     "qtgui_time_sink_x": "time_sink_c",
     "qtgui_number_sink": "number_sink",
+    "qtgui_edit_box_msg": "edit_box_msg",
+    "qtgui_msgdigitalnumbercontrol": "qtgui_digitalnumbercontrol",
+    "qtgui_msgcheckbox": "qtgui_digitalnumbercontrol",
     "qtgui_vector_sink_f": "vector_sink_f",
     "qtgui_bercurve_sink": "ber_sink_b",
 }
@@ -782,6 +998,11 @@ def _match_registry_factory(ref_id: str):
             return alias, None
         if alias in reg:
             return reg[alias], None
+    # a registry factory published under the FULL reference id wins over
+    # any stem/suffix heuristics (trellis_encoder_xx must not strip down
+    # to the fec registry's bare `encoder`)
+    if ref_id in reg:
+        return reg[ref_id], None
     for p in _ID_PREFIXES:
         if not ref_id.startswith(p):
             continue
@@ -896,6 +1117,180 @@ _SKIP_IDS = {"variable", "variable_qtgui_label", "variable_qtgui_range",
              "import", "parameter", "note", "virtual_sink", "virtual_source"}
 
 
+_TS_DEFERRED_IDS = ("blocks_tagged_stream_mux", "digital_crc32_bb",
+                    "digital_protocol_formatter_bb", "digital_burst_shaper_xx")
+
+
+def _resolve_ts_blocks(deferred: dict, blocks: dict, conns) -> None:
+    """Resolve tagged-stream blocks whose per-packet length the reference
+    carries on stream tags. In the static-shape graph the length is a
+    CONSTANT per edge, derivable by walking upstream from each input port:
+    stream_to_tagged_stream defines it (packet_len param); every other
+    block scales it by out_rate/in_rate exactly the way the reference's
+    tagged_stream_block rescales length tags (tagged_stream_block.cc
+    calculate_output_stream_length). Mutates `blocks` in place."""
+    from fractions import Fraction
+    from .ops.blocks import StreamToTaggedStream
+
+    fan_in = {}
+    msg_in = {}
+    for s, sp, d, dp in conns:
+        try:
+            fan_in[(d, int(dp))] = (s, int(sp))
+        except ValueError:
+            msg_in[(d, str(dp))] = (s, str(sp))
+
+    resolving: set[str] = set()
+
+    def msg_len(name: str, port: str) -> "Fraction":
+        """Per-PDU byte length on a message edge — the PDU-chain analog of
+        the stream-rate walk (random_pdu -> crc32_async -> formatter_async
+        all transform the packet length deterministically)."""
+        from .ops.blocks_extra3 import RandomPdu
+        from .ops.catalog_fills_r4 import Crc32AsyncBb
+        from .ops.digital_packet2 import ProtocolFormatterAsync
+        b = blocks.get(name)
+        if isinstance(b, RandomPdu):
+            if b.lo != b.hi:
+                # static-shape adaptation: a variable-size PDU source
+                # feeding a fixed-length tagged-stream chain is pinned to
+                # its max size (payloads stay random; only the length
+                # becomes constant). Logged so graph users see the change.
+                import logging
+                logging.getLogger("gnuradio_tpu.grc").warning(
+                    "%s: pinning random_pdu size [%d,%d] -> %d for the "
+                    "static-shape tagged-stream chain", name, b.lo, b.hi,
+                    b.hi)
+                b.lo = b.hi
+            return Fraction(b.hi)
+        if isinstance(b, Crc32AsyncBb):
+            up = msg_in.get((name, "in"))
+            if up is None:
+                raise ValueError(f"{name}: crc32_async input unconnected")
+            return msg_len(*up) + (-4 if b.check else 4)
+        if isinstance(b, ProtocolFormatterAsync):
+            if port == "header":
+                # header PDU bytes = floor(nbits/8) (_bits_to_bytes_msb
+                # truncates the ragged tail, matching packbits semantics)
+                return Fraction(b.fmt.header_nbits() // 8)
+            up = msg_in.get((name, "in"))
+            if up is None:
+                raise ValueError(f"{name}: formatter input unconnected")
+            return msg_len(*up)
+        from .ops.pdu_stream import TaggedStreamToPdu
+        if isinstance(b, TaggedStreamToPdu):
+            up = fan_in.get((name, 0))
+            if up is None:
+                raise ValueError(f"{name}: stream input unconnected")
+            return out_len(*up)
+        from .ops.fec_api import FecAsyncEncoder, FecAsyncDecoder
+        if isinstance(b, FecAsyncEncoder):
+            up = msg_len(*msg_in[(name, "in")])
+            k, n = b.code.k_bits, b.code.n_bits
+            return Fraction(-(-int(up) // k) * n)
+        if isinstance(b, FecAsyncDecoder):
+            up = msg_len(*msg_in[(name, "in")])
+            k, n = b.code.k_bits, b.code.n_bits
+            return Fraction(int(up) // n * k)
+        raise ValueError(
+            f"cannot infer PDU packet length through {name!r} "
+            f"({type(b).__name__})")
+
+    def out_len(name: str, port: int) -> Fraction:
+        if name in deferred:
+            resolve(name)
+        b = blocks.get(name)
+        if b is None:
+            raise ValueError(
+                f"tagged-stream length walk hit dropped block {name!r}")
+        if isinstance(b, StreamToTaggedStream):
+            return Fraction(b.packet_len)
+        if not b.nin:
+            # sources can carry the length tag directly (vector_source
+            # with a packet_len tag in its tags param)
+            for t in getattr(b, "stream_tags", None) or []:
+                if "len" in str(t.key) and isinstance(t.value, (int,
+                                                                np.integer)):
+                    return Fraction(int(t.value))
+            # pdu_to_tagged_stream: cross onto the message plane and walk
+            # the PDU chain's deterministic length transforms
+            from .ops.pdu_stream import PduToTaggedStream
+            if isinstance(b, PduToTaggedStream):
+                up = msg_in.get((name, "pdus"))
+                if up is not None:
+                    return msg_len(*up)
+            raise ValueError(
+                f"cannot infer tagged-stream packet length: walk reached "
+                f"source {name!r} with no stream_to_tagged_stream on the "
+                "path")
+        src = fan_in.get((name, 0))
+        if src is None:
+            raise ValueError(
+                f"cannot infer tagged-stream packet length: {name!r} "
+                "input 0 is unconnected")
+        return out_len(*src) * b.out_rates[port] / b.in_rates[0]
+
+    def in_len(name: str, port: int) -> int:
+        src = fan_in.get((name, port))
+        if src is None:
+            raise ValueError(
+                f"cannot infer tagged-stream packet length: {name!r} "
+                f"input {port} is unconnected")
+        val = out_len(*src)
+        if val.denominator != 1 or val <= 0:
+            raise ValueError(
+                f"tagged-stream packet length at {name}:{port} is not a "
+                f"positive integer: {val}")
+        return int(val)
+
+    def resolve(name: str) -> None:
+        if name in resolving:
+            raise ValueError(
+                f"tagged-stream length inference cycle at {name!r}")
+        btype, p = deferred[name]
+        resolving.add(name)
+        try:
+            if btype == "blocks_tagged_stream_mux":
+                from .ops.blocks_extra3 import TaggedStreamMuxBlock
+                nin = int(p.get("ninputs", 2) or 2)
+                b = TaggedStreamMuxBlock(
+                    [in_len(name, i) for i in range(nin)],
+                    str(p.get("lengthtagname", "packet_len")),
+                    _dtype_of(p))
+            elif btype == "digital_crc32_bb":
+                from .ops.digital_packet2 import Crc32Bb
+                chk = p.get("check", False)
+                if isinstance(chk, str):
+                    chk = chk.strip() in ("True", "true", "1")
+                b = Crc32Bb(in_len(name, 0), bool(chk))
+            elif btype == "digital_burst_shaper_xx":
+                from .ops.packet import BurstShaperCC
+                win = p.get("window")
+                win = np.asarray(() if win is None or isinstance(win, str)
+                                 else win, np.complex64).reshape(-1)
+                h = len(win) // 2
+                b = BurstShaperCC(win[:h], win[h:], in_len(name, 0),
+                                  int(p.get("pre_padding", 0) or 0),
+                                  int(p.get("post_padding", 0) or 0),
+                                  dtype=_dtype_of(p))
+            else:                       # digital_protocol_formatter_bb
+                from .ops.digital_packet2 import ProtocolFormatterBb
+                fmt = p.get("format") or p.get("hdr_format")
+                if fmt is None or isinstance(fmt, str):
+                    raise ValueError(
+                        f"{name}: header format object did not resolve")
+                b = ProtocolFormatterBb(fmt, in_len(name, 0))
+        finally:
+            resolving.discard(name)
+        b.name = name
+        blocks[name] = b
+        del deferred[name]
+
+    for name in list(deferred):
+        if name in deferred:
+            resolve(name)
+
+
 def load_reference_grc(path_or_text, overrides: dict | None = None,
                        extra_adapters: dict | None = None):
     """Parse a reference-format .grc file; returns (TopBlock, {name: Block}).
@@ -970,6 +1365,18 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             except Exception:
                 pass
             continue
+        if btype == "epy_module":
+            # embedded python module: the .grc carries the module source;
+            # exec it into a fresh namespace bound under the block name
+            # (grc/core/blocks/embedded_python.py behavior)
+            import types
+            mod = types.ModuleType(bid)
+            try:
+                exec(str(params.get("source_code", "")), mod.__dict__)  # noqa: S102
+                ns[bid] = mod
+            except Exception:
+                ns[bid] = None
+            continue
         if btype == "parameter":
             # parameters resolve alongside variables (dependency order
             # unknown); default value lives under 'value'
@@ -1017,10 +1424,19 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
         pending = nxt
 
     blocks: dict[str, Block] = {}
+    ts_deferred: dict[str, tuple[str, dict]] = {}
     for kind, bid, payload in specs:
         if kind != "block":
             continue
         btype, params = payload
+        if btype in _TS_DEFERRED_IDS:
+            # tagged-stream blocks whose per-packet length the reference
+            # reads from stream tags at runtime: defer construction until
+            # the wiring is known, then infer the static packet length by
+            # walking the upstream chain's rate ratios (_resolve_ts_blocks)
+            ts_deferred[bid] = (btype,
+                               {k: _eval(v, ns) for k, v in params.items()})
+            continue
         ad = adapters.get(btype)
         if ad is None:
             ad = _auto_adapter(btype)   # mechanical registry match
@@ -1039,6 +1455,9 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
         b.name = bid
         blocks[bid] = b
 
+    if ts_deferred:
+        _resolve_ts_blocks(ts_deferred, blocks, doc.get("connections", []))
+
     fg = Flowgraph()
     for conn in doc.get("connections", []):
         s, sp, d, dp = conn
@@ -1051,6 +1470,24 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             # 'generate', 'pdus', ... — grc msg connections use names)
             fg.msg_connect(blocks[s], str(sp), blocks[d], str(dp))
             continue
+        # diagnostic output ports the framework block doesn't expose (e.g.
+        # the reference pfb_clock_sync's err/rate/phase debug outputs) —
+        # when they only feed instrumentation, drop the edge (running
+        # headless, the debug taps simply aren't observed)
+        if (spi >= blocks[s].nout
+                and isinstance(blocks[d], _SinkBase)):
+            continue
+        # multi-connection GUI sinks observe streams of UNRELATED rates
+        # (e.g. an eye sink on both sides of a clock-sync): split each
+        # connection onto its own independent null sink so the rate solver
+        # never unifies the observed streams through the sink.
+        if isinstance(blocks[d], _MultiNullSink):
+            from .ops.blocks import null_sink
+            port = blocks[d].in_ports[0]
+            solo = null_sink(port.dtype, port.vlen)
+            solo.name = f"{d}__p{dpi}"
+            blocks[solo.name] = solo
+            d, dpi = solo.name, 0
         # vlen auto-bridge: reference descriptors freely mix vlen-N vector
         # ports with our flat-stream block forms (a vlen-N stream of M
         # items IS an (M, N) array on TPU — core/stream.py). When dtypes
@@ -1076,6 +1513,19 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             fg.connect((shim, 0), (blocks[d], dpi))
             continue
         fg.connect((blocks[s], spi), (blocks[d], dpi))
+    # dangling optional outputs (the reference allows unconnected optional
+    # output ports; this runtime requires every output consumed): absorb
+    # them into null sinks
+    from .ops.blocks import null_sink as _nsink
+    for b in list(fg.blocks):
+        used = {e.src.port for e in fg.out_edges(b)}
+        for q in range(b.nout):
+            if q not in used:
+                spec = b.out_ports[q]
+                solo = _nsink(spec.dtype, spec.vlen)
+                solo.name = f"_dangle_{b.name}_{q}"
+                blocks[solo.name] = solo
+                fg.connect((b, q), (solo, 0))
     return TopBlock(fg), blocks
 
 

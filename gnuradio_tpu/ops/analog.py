@@ -56,6 +56,32 @@ class SigSource(SourceBlock):
         self._phase0 = fxpt.float_to_fxpt(initial_phase)
         self._delta = fxpt.float_to_fxpt(
             2 * math.pi * self.frequency / self.sampling_freq)
+        # live-retune message ports (sig_source_impl.cc msg handlers):
+        # updates land on the block object; a running TopBlock applies them
+        # at the next lock()/unlock() recompile boundary
+        self.message_port_register_in("freq", self._on_freq)
+        self.message_port_register_in("cmd", self._on_cmd)
+
+    def _set_frequency(self, f):
+        self.frequency = float(f)
+        self._delta = fxpt.float_to_fxpt(
+            2 * math.pi * self.frequency / self.sampling_freq)
+
+    def _on_freq(self, msg):
+        try:
+            self._set_frequency(msg if not isinstance(msg, (tuple, list))
+                                else msg[-1])
+        except (TypeError, ValueError):
+            pass
+
+    def _on_cmd(self, msg):
+        if isinstance(msg, dict):
+            if "freq" in msg:
+                self._set_frequency(msg["freq"])
+            if "ampl" in msg:
+                self.amplitude = float(msg["ampl"])
+            if "offset" in msg:
+                self.offset = float(msg["offset"])
 
     def init_state(self):
         return jnp.asarray(self._phase0, jnp.int32)

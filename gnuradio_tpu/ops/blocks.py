@@ -268,6 +268,8 @@ def vector_sink_s(vlen=1):
 
 
 class NullSink(SinkBlock):
+    accept_any_msg = True       # headless GUI stand-in: absorb control msgs
+
     def __init__(self, in_port: PortSpec = PortSpec(C), name=None):
         super().__init__(in_port, name)
 

@@ -397,6 +397,58 @@ def tagged_stream_mux(streams_and_tags, len_tag_key="packet_len"):
     return data, tags
 
 
+class TaggedStreamMuxBlock(Block):
+    """Streaming tagged_stream_mux (gr-blocks/lib/tagged_stream_mux_impl.cc):
+    one packet of lens[i] items from each input per period, concatenated in
+    port order. The reference reads per-packet lengths from stream tags at
+    runtime; in the static-shape graph the per-input packet length is fixed
+    at construction — the importer infers each input's length by walking the
+    upstream tagged-stream chain's rate ratios (grc_import._infer_ts_lens).
+    Emits a length tag per muxed packet like the reference does."""
+
+    mints_tags = True
+
+    def __init__(self, lens, len_tag_key="packet_len", dtype=C, name=None):
+        super().__init__(name)
+        self.lens = [int(l) for l in lens]
+        if any(l <= 0 for l in self.lens):
+            raise ValueError(f"tagged_stream_mux lens must be positive: "
+                             f"{self.lens}")
+        self.key = len_tag_key
+        self.period = sum(self.lens)
+        self.in_ports = tuple(PortSpec(dtype) for _ in self.lens)
+        self.out_ports = (PortSpec(dtype),)
+
+    @property
+    def in_rates(self):
+        return tuple(Fraction(l) for l in self.lens)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.period),)
+
+    def apply(self, state, inputs, n_in):
+        nper = inputs[0].shape[0] // self.lens[0]
+        out = jnp.concatenate(
+            [x.reshape(nper, l) for x, l in zip(inputs, self.lens)], axis=1)
+        return state, (out.reshape(-1),)
+
+    def transform_tags_multi(self, tags_by_port, in_wins, out_wins):
+        w0, w1 = out_wins[0]
+        out = []
+        for p in range((w1 - w0) // self.period):
+            off = w0 + p * self.period
+            pos = 0
+            for l in self.lens:
+                out.append(Tag(off + pos, self.key, l, self.name))
+                pos += l
+        return [out]
+
+
+def tagged_stream_mux_block(lens, len_tag_key="packet_len", dtype=C):
+    return TaggedStreamMuxBlock(lens, len_tag_key, dtype)
+
+
 class TsbVectorSink(VectorSink):
     """tsb_vector_sink: collect a tagged stream and expose it packet-wise
     (gr-blocks/lib/tsb_vector_sink_impl.cc)."""

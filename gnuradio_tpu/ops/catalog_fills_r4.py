@@ -556,3 +556,35 @@ class EditBoxMsg(Block):
 
 def edit_box_msg(value=None, key="value", **_):
     return EditBoxMsg(value, key)
+
+
+class ControlMsgStub(Block):
+    """Headless analog of the qtgui value-control widgets
+    (digitalnumcontrol / dialcontrol / levelgauge...): 'valuein' messages
+    update the held value and re-emit on 'valueout'; the initial value is
+    posted once at start (msg_work tick 0) like the widgets' initial
+    notification."""
+
+    def __init__(self, value=0, name=None):
+        super().__init__(name)
+        self.value = value
+        self.message_port_register_in("valuein", self._on)
+        self.message_port_register_out("valueout")
+        self._posted = False
+
+    def _on(self, msg):
+        self.value = msg[1] if isinstance(msg, (tuple, list)) else msg
+        self.post("valueout", self.value)
+
+    def msg_work(self, step):
+        if not self._posted:
+            self._posted = True
+            self.post("valueout", self.value)
+
+
+def qtgui_digitalnumbercontrol(value=0, **_):
+    return ControlMsgStub(value)
+
+
+def qtgui_dialcontrol(value=0, **_):
+    return ControlMsgStub(value)

@@ -41,6 +41,14 @@ class _CallableInt(int):
         return int(self)
 
 
+class _CallableArray(np.ndarray):
+    """ndarray that also answers the reference's method-call syntax
+    (const.points() / const.pre_diff_code() in GRC param expressions)."""
+
+    def __call__(self):
+        return np.asarray(self)
+
+
 class Constellation:
     """Constellation object: points + bit mapping + decision regions
     (gr::digital::constellation, lib/constellation.cc).
@@ -52,13 +60,14 @@ class Constellation:
 
     def __init__(self, points, pre_diff_code=None, rotational_symmetry=4,
                  dimensionality=1):
-        self.points = np.asarray(points, np.complex64)
-        # _CallableInt: the reference exposes these as METHODS
-        # (constellation.h arity()/bits_per_symbol()) and GRC expressions
-        # call them; as ints they also work as plain attributes
+        self.points = np.asarray(points, np.complex64).view(_CallableArray)
+        # _CallableInt/_CallableArray: the reference exposes these as
+        # METHODS (constellation.h arity()/bits_per_symbol()/points()) and
+        # GRC expressions call them; they also work as plain attributes
         self.arity = _CallableInt(len(self.points))
         self.bits_per_symbol = _CallableInt(round(math.log2(self.arity)))
         self.pre_diff_code = (np.asarray(pre_diff_code, np.int32)
+                              .view(_CallableArray)
                               if pre_diff_code is not None else None)
         self.rotational_symmetry = rotational_symmetry
         self.dimensionality = dimensionality
@@ -146,12 +155,15 @@ class ChunksToSymbols(Block):
     points (gr-digital/lib/chunks_to_symbols_impl.cc). D-dimensional symbol
     tables supported via vlen-D output."""
 
-    def __init__(self, symbol_table, D: int = 1, in_dtype=B, name=None):
+    def __init__(self, symbol_table, D: int = 1, in_dtype=B, out_dtype=C,
+                 name=None):
         super().__init__(name)
-        self.table = np.asarray(symbol_table, np.complex64)
+        self.table = np.asarray(
+            symbol_table,
+            np.complex64 if out_dtype == C else np.float32)
         self.D = int(D)
         self.in_ports = (PortSpec(in_dtype),)
-        self.out_ports = (PortSpec(C),)
+        self.out_ports = (PortSpec(out_dtype),)
 
     @property
     def in_rates(self):

@@ -259,25 +259,19 @@ def mpsk_snr_est_cc(est_type="m2m4"):
     return MpskSnrEst(est_type)
 
 
-class MeasEvm(SinkBlock):
-    """meas_evm_cc: RMS EVM (%) vs nearest point of a constellation."""
+class MeasEvm(SyncBlock):
+    """meas_evm_cc (gr-digital/lib/meas_evm_cc_impl.cc): per-sample EVM (%)
+    vs the nearest constellation point, streamed out."""
 
     def __init__(self, points, name=None):
-        super().__init__(PortSpec(C), name)
+        super().__init__(PortSpec(C), PortSpec(F), name)
         self.points = np.asarray(points, np.complex64)
-        self._evm = 0.0
 
-    @property
-    def tap_port(self):
-        return PortSpec(F)
-
-    def apply(self, state, inputs, n_in):
-        x = inputs[0]
+    def work(self, state, x):
         d = jnp.abs(x[:, None] - jnp.asarray(self.points)[None, :])
         nearest = jnp.min(d, axis=1)
-        ref_p = jnp.mean(jnp.abs(jnp.asarray(self.points)) ** 2)
-        evm = 100.0 * jnp.sqrt(jnp.mean(nearest ** 2) / ref_p)
-        return state, (evm,)
+        ref = jnp.sqrt(jnp.mean(jnp.abs(jnp.asarray(self.points)) ** 2))
+        return state, (100.0 * nearest / ref).astype(jnp.float32)
 
     def collect(self, value):
         self._evm = float(np.asarray(value))
@@ -286,8 +280,10 @@ class MeasEvm(SinkBlock):
         return self._evm
 
 
-def meas_evm_cc(points):
-    return MeasEvm(points)
+def meas_evm_cc(points, meas_type=0):
+    # GRC passes a constellation OBJECT (cons param); unwrap its points
+    pts = getattr(points, "points", points)
+    return MeasEvm(np.asarray(pts))
 
 
 # ---------------------------------------------------------------------------

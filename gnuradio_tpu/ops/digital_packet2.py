@@ -355,11 +355,18 @@ class HeaderFormatDefault:
     """header_format_default: access code bits + 16-bit length repeated twice
     (gr-digital/lib/header_format_default.cc)."""
 
-    def __init__(self, access_code: int = 0xACDDA4E2F28C20FC,
+    def __init__(self, access_code: int | str = 0xACDDA4E2F28C20FC,
                  code_bits: int = 64, threshold: int = 0):
-        self.code_bits = code_bits
-        self.access = [(access_code >> i) & 1
-                       for i in range(code_bits - 1, -1, -1)]
+        if isinstance(access_code, str):
+            # GRC passes the access code as a '01' string
+            # (packet_utils.default_access_code style)
+            bits = [c for c in access_code if c in "01"]
+            self.code_bits = len(bits)
+            self.access = [int(c) for c in bits]
+        else:
+            self.code_bits = code_bits
+            self.access = [(access_code >> i) & 1
+                           for i in range(code_bits - 1, -1, -1)]
         self.threshold = threshold
 
     def header_nbits(self) -> int:
@@ -419,10 +426,13 @@ class HeaderFormatCounter(HeaderFormatDefault):
 
 class HeaderFormatCrc:
     """header_format_crc: 12-bit length + 12-bit number + CRC8 over both
-    (gr-digital/lib/header_format_crc.cc)."""
+    (gr-digital/lib/header_format_crc.cc). Key names are carried for the
+    parser's metadata dict."""
 
-    def __init__(self):
+    def __init__(self, len_key_name: str = "packet_len",
+                 num_key_name: str = "packet_num"):
         self.number = 0
+        self.len_key, self.num_key = str(len_key_name), str(num_key_name)
 
     def header_nbits(self) -> int:
         return 32
@@ -451,6 +461,49 @@ class HeaderFormatCrc:
         if crc8(crc_in) != c:
             return None, False
         return {"payload_bytes": plen, "number": num}, True
+
+
+class HeaderFormatOfdm(HeaderFormatCrc):
+    """header_format_ofdm (gr-digital/lib/header_format_ofdm.cc behavior):
+    the CRC header (12-bit len + 12-bit number + CRC8) zero-padded so the
+    header fills exactly `n_syms` whole OFDM symbols of the first carrier
+    allocation at `bits_per_header_sym` bits each."""
+
+    def __init__(self, occupied_carriers, n_syms: int = 1,
+                 len_key_name: str = "packet_len",
+                 frame_key_name: str = "frame_len",
+                 num_key_name: str = "packet_num",
+                 bits_per_header_sym: int = 1,
+                 bits_per_payload_sym: int = 1, scramble_header: bool = False):
+        super().__init__()
+        occ = occupied_carriers
+        if len(occ) and isinstance(occ[0], (list, tuple, np.ndarray)):
+            ncar = len(occ[0])
+        else:
+            ncar = len(occ)
+        self._nbits = int(ncar) * int(n_syms) * int(bits_per_header_sym)
+        if self._nbits < 32:
+            raise ValueError("OFDM header shorter than its 32 content bits")
+
+    def header_nbits(self) -> int:
+        return self._nbits
+
+    def format(self, payload_bytes: int) -> np.ndarray:
+        core = super().format(payload_bytes)
+        return np.concatenate(
+            [core, np.zeros(self._nbits - len(core), np.int8)])
+
+    def parse(self, bits: np.ndarray):
+        return super().parse(np.asarray(bits)[:32])
+
+
+def header_format_ofdm(occupied_carriers, n_syms=1,
+                       len_key_name="packet_len", frame_key_name="frame_len",
+                       num_key_name="packet_num", bits_per_header_sym=1,
+                       bits_per_payload_sym=1, scramble_header=False):
+    return HeaderFormatOfdm(occupied_carriers, n_syms, len_key_name,
+                            frame_key_name, num_key_name, bits_per_header_sym,
+                            bits_per_payload_sym, scramble_header)
 
 
 class ProtocolFormatterAsync(Block):
@@ -519,6 +572,98 @@ class ProtocolFormatterBb(Block):
 
 def protocol_formatter_bb(fmt, payload_bytes):
     return ProtocolFormatterBb(fmt, payload_bytes)
+
+
+class ProtocolParserB(SinkBlock):
+    """protocol_parser_b (gr-digital/lib/protocol_parser_b_impl.cc): a sink
+    consuming unpacked header bits; every header_nbits-bit window is parsed
+    through the header format object and successful parses post their
+    metadata dict on the 'info' message port."""
+
+    def __init__(self, fmt, name=None):
+        super().__init__(PortSpec(B), name)
+        self.fmt = fmt
+        self.message_port_register_out("info")
+        self._bits: list[np.ndarray] = []
+        self.parsed: list = []
+
+    def reset_host_state(self):
+        self._bits = []
+        self.parsed = []
+
+    @property
+    def tap_port(self):
+        return PortSpec(B)
+
+    def apply(self, state, inputs, n_in):
+        return state, inputs[0]
+
+    def collect(self, v):
+        self._bits.append(np.asarray(v, np.int64) & 1)
+        buf = np.concatenate(self._bits)
+        nh = self.fmt.header_nbits()
+        nhdr = len(buf) // nh
+        for i in range(nhdr):
+            info, ok = self.fmt.parse(buf[i * nh:(i + 1) * nh])
+            if ok:
+                self.parsed.append(info)
+                self.post("info", info)
+        self._bits = [buf[nhdr * nh:]]
+
+
+def protocol_parser_b(fmt):
+    return ProtocolParserB(fmt)
+
+
+class Crc32Bb(Block):
+    """digital_crc32_bb fixed-packet streaming form (gr-digital
+    crc32_bb_impl.cc): append (or check+strip) a little-endian CRC32 per
+    packet. The reference reads the packet length from stream tags; the
+    static-shape graph fixes it at construction (the importer infers it
+    from the upstream tagged-stream chain — grc_import tagged-stream
+    resolution pass). CRC bytes are host-computed per window via
+    pure_callback — per-packet zlib crc32 is byte-serial control flow the
+    host owns; packets per step stay batched on device."""
+
+    def __init__(self, packet_len: int, check: bool = False, name=None):
+        super().__init__(name)
+        self.P = int(packet_len)          # payload bytes per packet (input)
+        self.check = bool(check)
+        if self.check and self.P <= 4:
+            raise ValueError("crc32_bb check mode needs packets > 4 bytes")
+        self.in_ports = (PortSpec(B),)
+        self.out_ports = (PortSpec(B),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.P),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.P - 4 if self.check else self.P + 4),)
+
+    def apply(self, state, inputs, n_in):
+        P, Q = self.P, (self.P - 4 if self.check else self.P + 4)
+        x = inputs[0].reshape(-1, P)
+
+        def host(pk):
+            import zlib
+            pk = np.asarray(pk).astype(np.uint8)
+            if self.check:
+                return pk[:, :Q].view(np.int8)   # strip trailing CRC
+            crcs = np.array([zlib.crc32(row.tobytes()) & 0xFFFFFFFF
+                             for row in pk], np.uint32)
+            tail = crcs[:, None] >> np.arange(0, 32, 8)[None, :]
+            return np.concatenate(
+                [pk, (tail & 0xFF).astype(np.uint8)], axis=1).view(np.int8)
+
+        shape = jax.ShapeDtypeStruct((x.shape[0], Q), jnp.int8)
+        y = jax.pure_callback(host, shape, x)
+        return state, (y.reshape(-1),)
+
+
+def crc32_bb(packet_len, check=False):
+    return Crc32Bb(packet_len, check)
 
 
 # ---------------------------------------------------------------------------

@@ -77,11 +77,15 @@ class LinearEqualizer(Block):
                  training_sequence=None, name=None):
         super().__init__(name)
         self.in_ports = (PortSpec(C),)
-        self.out_ports = (PortSpec(C),)
+        # output 1: current tap vector per symbol (the reference's
+        # optional taps output, linear_equalizer.h make(..., num_taps))
+        self.out_ports = (PortSpec(C), PortSpec(C, int(num_taps)))
         self.sps = int(sps)
         self.af = _AdaptiveFilter(num_taps, mu, algorithm, modulus, points)
         self.training = (np.asarray(training_sequence, np.complex64)
                          if training_sequence is not None else None)
+        if self.training is not None and self.training.size == 0:
+            self.training = None       # empty sequence = decision-directed
 
     @property
     def in_rates(self):
@@ -89,7 +93,7 @@ class LinearEqualizer(Block):
 
     @property
     def out_rates(self):
-        return (Fraction(1),)
+        return (Fraction(1), Fraction(1))
 
     def init_state(self):
         st = {"taps": self.af.init_taps(),
@@ -118,21 +122,22 @@ class LinearEqualizer(Block):
                 desired = jnp.where(tidx < ntr, tr[jnp.minimum(tidx, ntr - 1)],
                                     self.af._decide(y0))
                 taps, y, e = self.af.step(taps, win, desired)
-                return (taps, tidx + 1), y
+                return (taps, tidx + 1), (y, taps)
 
-            (taps, tidx), y = jax.lax.scan(
+            (taps, tidx), (y, tap_hist) = jax.lax.scan(
                 step, (state["taps"], state["tidx"]), jnp.arange(n_out))
             new = {"taps": taps, "tidx": tidx}
         else:
             def step(taps, k):
                 win = jax.lax.dynamic_slice(xp, (k * self.sps,), (nt,))
                 taps, y, e = self.af.step(taps, win)
-                return taps, y
+                return taps, (y, taps)
 
-            taps, y = jax.lax.scan(step, state["taps"], jnp.arange(n_out))
+            taps, (y, tap_hist) = jax.lax.scan(
+                step, state["taps"], jnp.arange(n_out))
             new = {"taps": taps}
         new["tail"] = xp[xp.shape[0] - (nt - 1):]
-        return new, (y.astype(C),)
+        return new, (y.astype(C), tap_hist.astype(C))
 
 
 def linear_equalizer(num_taps, sps, algorithm="lms", mu=0.01, modulus=1.0,
@@ -161,7 +166,10 @@ class DecisionFeedbackEqualizer(Block):
                  training_sequence=None, name=None):
         super().__init__(name)
         self.in_ports = (PortSpec(C),)
-        self.out_ports = (PortSpec(C),)
+        # output 1: concatenated [fwd taps | fb taps] per symbol (the
+        # reference's optional taps output)
+        self.out_ports = (PortSpec(C),
+                          PortSpec(C, int(num_taps_fwd) + int(num_taps_fb)))
         self.sps = int(sps)
         self.nf, self.nb = int(num_taps_fwd), int(num_taps_fb)
         self.af = _AdaptiveFilter(self.nf, mu, algorithm, modulus, points)
@@ -175,7 +183,7 @@ class DecisionFeedbackEqualizer(Block):
 
     @property
     def out_rates(self):
-        return (Fraction(1),)
+        return (Fraction(1), Fraction(1))
 
     def init_state(self):
         st = {"ftaps": self.af.init_taps(),
@@ -214,17 +222,18 @@ class DecisionFeedbackEqualizer(Block):
                 ftaps = ftaps + self.mu * jnp.conj(win) * e
                 btaps = btaps - self.mu * jnp.conj(dh) * e
             dh = jnp.concatenate([d[None], dh[:-1]])
-            return (ftaps, btaps, dh, tidx), y
+            return (ftaps, btaps, dh, tidx), (y, jnp.concatenate(
+                [ftaps, btaps]))
 
         tidx0 = state.get("tidx", jnp.int32(0))
-        (ftaps, btaps, dh, tidx), y = jax.lax.scan(
+        (ftaps, btaps, dh, tidx), (y, tap_hist) = jax.lax.scan(
             step, (state["ftaps"], state["btaps"], state["dec_hist"], tidx0),
             jnp.arange(n_out))
         new = {"ftaps": ftaps, "btaps": btaps, "dec_hist": dh,
                "tail": xp[xp.shape[0] - (nf - 1):]}
         if self.training is not None:
             new["tidx"] = tidx
-        return new, (y.astype(C),)
+        return new, (y.astype(C), tap_hist.astype(C))
 
 
 def decision_feedback_equalizer(num_taps_fwd, num_taps_fb, sps,

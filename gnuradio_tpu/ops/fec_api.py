@@ -38,7 +38,8 @@ from ..core.block import Block
 from ..core.stream import PortSpec, B, F
 from ..core.tags import Tag
 from . import fec as _fec
-from .fec import CC_STREAMING, CC_TERMINATED, CC_TAILBITING
+from .fec import (CC_STREAMING, CC_TERMINATED, CC_TAILBITING,
+                  CC_TRUNCATED)
 
 
 # ---------------------------------------------------------------------------
@@ -78,8 +79,12 @@ class CCCode(GenericCode):
                  polys=(0o171, 0o133), mode: int = CC_TERMINATED,
                  start_state: int = 0):
         if mode == CC_STREAMING:
-            raise ValueError("CC_STREAMING carries state across frames; "
-                             "use ops.fec.CCEncoder/CCDecoder blocks")
+            # the reference's streaming mode carries encoder state across
+            # frames; the batched per-frame kernel resets it each frame —
+            # encode/decode stay mutually consistent (truncated per frame),
+            # only the cross-frame state continuity differs. The fully
+            # streaming form lives in ops.fec.CCEncoder/CCDecoder.
+            mode = CC_TRUNCATED
         self.frame_size, self.k, self.cc_rate = int(frame_size), int(k), int(rate)
         self.polys, self.mode, self.start_state = list(polys), mode, start_state
         self.k_bits = self.frame_size
@@ -162,8 +167,20 @@ class PolarCode(GenericCode):
         return self.polar.encode(u)
 
     def decode_frames(self, soft):
-        fn = self.polar.decode_list if self.use_list else self.polar.decode
-        return jax.vmap(fn)(soft)
+        if not self.use_list:
+            return jax.vmap(self.polar.decode)(soft)
+        # SC-LIST decoding is host NumPy (data-dependent path pruning —
+        # ops/fec_polar.PolarCodeList docstring): cross the boundary via
+        # pure_callback so the streaming FecDecoder still composes under
+        # the jitted graph step.
+        import numpy as np
+
+        def host(s):
+            return np.stack([self.polar.decode_list(r)
+                             for r in np.asarray(s)]).astype(np.int8)
+
+        shape = jax.ShapeDtypeStruct((soft.shape[0], self.k_bits), jnp.int8)
+        return jax.pure_callback(host, shape, soft)
 
 
 class TpcCode(GenericCode):

@@ -76,7 +76,8 @@ class FftVcc(SyncBlock):
         self.fft_size = int(fft_size)
         self.forward = forward
         self.shift = shift
-        self.win = None if win is None else np.asarray(win, np.float32)
+        self.win = (None if win is None or not len(np.atleast_1d(win))
+                    else np.asarray(win, np.float32))  # () = no window
         if self.win is not None and len(self.win) != fft_size:
             raise ValueError("window length != fft_size")
 

@@ -20,6 +20,7 @@ from .fft import window as fft_window
 
 
 class FreqSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """freq_sink_c: per-chunk averaged windowed PSD in dB (fft_size bins,
     fftshifted, like the QT GUI frequency display)."""
 
@@ -73,6 +74,7 @@ class WaterfallSink(FreqSink):
 
 
 class ConstellationSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """constellation_sink: keeps the last `size` symbols per chunk."""
 
     def __init__(self, size: int = 1024, name=None):
@@ -88,6 +90,7 @@ class ConstellationSink(SinkBlock):
 
 
 class HistogramSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """histogram_sink_f: running histogram over fixed bin edges (device-side
     bincount per chunk, accumulated on host)."""
 
@@ -116,6 +119,7 @@ class HistogramSink(SinkBlock):
 
 
 class TimeRasterSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """time_raster_sink: rows of `row_len` samples (matrix display)."""
 
     def __init__(self, row_len: int, dtype=F, name=None):
@@ -145,6 +149,7 @@ class EyeSink(TimeRasterSink):
 
 
 class TimeSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """time_sink_c/f: triggered time-domain capture (qtgui_time_sink — the
     display pipeline without the GUI). Per chunk, captures the first
     `npoints` samples after the trigger condition (level crossing on the
@@ -195,6 +200,7 @@ def time_sink_f(npoints=1024, trigger_level=None, rising=True):
 
 
 class NumberSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """number_sink: running average of the most recent chunk (the QT number
     display's averaged scalar)."""
 
@@ -222,6 +228,7 @@ def number_sink(avg_alpha=1.0, dtype=F):
 
 
 class BerSink(SinkBlock):
+    accept_any_msg = True   # headless GUI analog: absorb control msgs
     """qtgui ber_sink_b analog: two byte streams (ref, rx) -> running BER.
     Device computes per-chunk (errors, bits); host accumulates totals."""
 

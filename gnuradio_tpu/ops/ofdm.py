@@ -282,6 +282,21 @@ class OfdmCarrierAllocator(Block):
                  pilot_symbols=DEFAULT_PILOT_SYMBOLS, name=None):
         super().__init__(name)
         occ = occupied_carriers or default_occupied_carriers(fft_len)
+
+        def _flat(v):
+            # GRC passes allocations as a tuple of per-symbol lists
+            # (ofdm_carrier_allocator_cvc.h cycles them); the fixed-rate
+            # block form supports the single-allocation case
+            if len(v) and isinstance(v[0], (list, tuple, np.ndarray)):
+                if len(v) != 1:
+                    raise ValueError(
+                        "per-symbol cycling allocations not supported by "
+                        "the fixed-rate allocator block")
+                return list(v[0])
+            return list(v)
+
+        occ, pilot_carriers = _flat(occ), _flat(pilot_carriers)
+        pilot_symbols = _flat(pilot_symbols)
         self.occ_idx = np.asarray([c % fft_len for c in occ], np.int32)
         self.pil_idx = np.asarray([c % fft_len for c in pilot_carriers],
                                   np.int32)

@@ -272,7 +272,7 @@ class BurstShaperCC(Block):
     lives in the slot discipline, ops/ofdm_streaming)."""
 
     def __init__(self, up_taps, down_taps, payload_len: int,
-                 pre_pad: int = 0, post_pad: int = 0, name=None):
+                 pre_pad: int = 0, post_pad: int = 0, dtype=C, name=None):
         super().__init__(name)
         from fractions import Fraction as _Fr
         self.up = np.asarray(up_taps, np.complex64)
@@ -281,8 +281,8 @@ class BurstShaperCC(Block):
         self.pre, self.post = int(pre_pad), int(post_pad)
         if len(self.up) + len(self.down) > self.P:
             raise ValueError("ramps longer than the payload")
-        self.in_ports = (PortSpec(C),)
-        self.out_ports = (PortSpec(C),)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
         self._in_r = (_Fr(self.P),)
         self._out_r = (_Fr(self.P + self.pre + self.post),)
         self.output_multiple = self.P + self.pre + self.post
@@ -302,6 +302,8 @@ class BurstShaperCC(Block):
         ramp[: len(self.up)] = self.up
         if len(self.down):
             ramp[self.P - len(self.down):] = self.down
+        if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+            ramp = ramp.real.astype(np.float32)
         y = x * jnp.asarray(ramp)[None, :]
         zpre = jnp.zeros((k, self.pre), y.dtype)
         zpost = jnp.zeros((k, self.post), y.dtype)

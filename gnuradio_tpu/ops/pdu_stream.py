@@ -75,8 +75,8 @@ def pdu_to_tagged_stream(len_tag_key="packet_len"):
 class TaggedStreamToPdu(SinkBlock):
     """Reassemble `packet_len`-tagged bytes into PDUs posted on 'pdus'."""
 
-    def __init__(self, len_tag_key: str = "packet_len", name=None):
-        super().__init__(PortSpec(B), name)
+    def __init__(self, len_tag_key: str = "packet_len", dtype=B, name=None):
+        super().__init__(PortSpec(dtype), name)
         self.len_tag_key = len_tag_key
         self.message_port_register_out("pdus")
         self._data: list[np.ndarray] = []
@@ -109,8 +109,8 @@ class TaggedStreamToPdu(SinkBlock):
             self._emitted += 1
 
 
-def tagged_stream_to_pdu(len_tag_key="packet_len"):
-    return TaggedStreamToPdu(len_tag_key)
+def tagged_stream_to_pdu(len_tag_key="packet_len", dtype=B):
+    return TaggedStreamToPdu(len_tag_key, dtype)
 
 
 class _PduMetaTool(Block):

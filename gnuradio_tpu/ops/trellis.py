@@ -66,7 +66,13 @@ class FSM:
     """
 
     def __init__(self, I: int, S: int, O: int, NS, OS):
-        self.I, self.S, self.O = int(I), int(S), int(O)
+        # callable ints: GRC expressions use the reference's accessor-method
+        # syntax (fsm.I()/fsm.S()/fsm.O(), fsm.h:51-53)
+        class _CInt(int):
+            def __call__(self):
+                return int(self)
+
+        self.I, self.S, self.O = _CInt(int(I)), _CInt(int(S)), _CInt(int(O))
         self.NS = np.asarray(NS, np.int32).reshape(self.S, self.I)
         self.OS = np.asarray(OS, np.int32).reshape(self.S, self.I)
         if self.NS.min() < 0 or self.NS.max() >= self.S:
@@ -130,7 +136,11 @@ class FSM:
         with open(path) as f:
             for line in f:
                 line = line.split("#")[0]
-                toks += [int(t) for t in line.split()]
+                fields = line.split()
+                if fields and not all(
+                        t.lstrip("-").isdigit() for t in fields):
+                    break       # free-text trailer after the tables
+                toks += [int(t) for t in fields]
         I_, S_, O_ = toks[0], toks[1], toks[2]
         body = toks[3:]
         NS = body[: S_ * I_]

@@ -129,9 +129,11 @@ def test_meas_evm(rng):
     x = (syms + err).astype(np.complex64)
     src = blk.vector_source(x)
     evm = dx.meas_evm_cc(pts)
+    snk = blk.vector_sink_f()
     fg = Flowgraph()
-    fg.connect(src, evm)
+    fg.connect(src, evm, snk)
     TopBlock(fg, target_items=10_000).run()
     # RMS error = 0.05*sqrt(2)... mean |err|^2 = 2*0.05^2; EVM% ~ sqrt(0.005)*100
     want = 100 * np.sqrt(np.mean(np.abs(err) ** 2))
-    assert abs(evm.evm() - want) < 1.0
+    got = np.sqrt(np.mean(np.asarray(snk.data()) ** 2))
+    assert abs(got - want) < 1.0

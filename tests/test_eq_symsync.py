@@ -36,7 +36,11 @@ def test_lms_equalizer_opens_static_channel(rng):
     lq = eq.linear_equalizer(11, 1, "lms", mu=0.01,
                              points=QPSK, training_sequence=train)
     snk = blk.vector_sink_c()
-    run_graph(src, lq, snk, target_items=n)
+    tsnk = blk.null_sink(vlen=11)
+    fg = Flowgraph()
+    fg.connect(src, lq, snk)
+    fg.connect((lq, 1), (tsnk, 0))
+    TopBlock(fg, target_items=n).run()
     out = snk.data()
     # compare tail symbols to transmitted (allowing equalizer delay search)
     best = 1e9
@@ -56,7 +60,11 @@ def test_cma_equalizer_restores_modulus(rng):
     src = blk.vector_source(rx)
     cq = eq.cma_equalizer_cc(9, 1.0, 0.005)
     snk = blk.vector_sink_c()
-    run_graph(src, cq, snk, target_items=n)
+    tsnk = blk.null_sink(vlen=9)
+    fg = Flowgraph()
+    fg.connect(src, cq, snk)
+    fg.connect((cq, 1), (tsnk, 0))
+    TopBlock(fg, target_items=n).run()
     out = snk.data()
     tail = out[6000:]
     assert np.std(np.abs(tail)) < 0.08  # constant modulus restored
@@ -71,7 +79,11 @@ def test_dfe_with_training(rng):
     dfe = eq.decision_feedback_equalizer(
         9, 4, 1, "lms", mu=0.01, points=QPSK, training_sequence=syms[:400])
     snk = blk.vector_sink_c()
-    run_graph(src, dfe, snk, target_items=n)
+    tsnk = blk.null_sink(vlen=13)
+    fg = Flowgraph()
+    fg.connect(src, dfe, snk)
+    fg.connect((dfe, 1), (tsnk, 0))
+    TopBlock(fg, target_items=n).run()
     out = snk.data()
     best = 1e9
     for d in range(9):

@@ -22,7 +22,9 @@ EXAMPLES = [
     "gr-blocks/examples/metadata/file_metadata_vector_sink.grc",
     "gr-blocks/examples/metadata/file_metadata_vector_source.grc",
     "gr-blocks/examples/msg_passing/strobe.grc",
+    "gr-blocks/examples/msg_to_var.grc",
     "gr-blocks/examples/peak_detector2.grc",
+    "gr-blocks/examples/test_stream_mux_tags.grc",
     "gr-blocks/examples/var_to_msg.grc",
     "gr-blocks/examples/vector_source_with_tags.grc",
     "gr-channels/examples/channel_tone_response.grc",
@@ -31,9 +33,29 @@ EXAMPLES = [
     "gr-channels/examples/demo_qam.grc",
     "gr-channels/examples/demo_spec_an.grc",
     "gr-channels/examples/demo_two_tone.grc",
+    "gr-digital/examples/burst_shaper.grc",
     "gr-digital/examples/demod/digital_freq_lock.grc",
+    "gr-digital/examples/demod/pam_sync.grc",
+    "gr-digital/examples/demod/pam_timing.grc",
+    "gr-digital/examples/demod/test_corr_est.grc",
+    "gr-digital/examples/equalizers/le_vs_dfe.grc",
+    "gr-digital/examples/equalizers/linear_equalizer_compare.grc",
+    "gr-digital/examples/packet/example_corr_est.grc",
+    "gr-digital/examples/packet/example_corr_est_and_clock_sync.grc",
+    "gr-digital/examples/packet/example_corr_est_and_phase_sync.grc",
     "gr-digital/examples/ofdm/ofdm_loopback.grc",
+    "gr-digital/examples/ofdm/tx_ofdm.grc",
+    "gr-digital/examples/packet/burst_tagger.grc",
     "gr-digital/examples/packet/simple_bpsk_tx.grc",
+    "gr-digital/examples/packet/formatter_crc.grc",
+    "gr-digital/examples/packet/formatter_ofdm.grc",
+    "gr-digital/examples/packet/tx_stage0.grc",
+    "gr-digital/examples/packet/tx_stage1.grc",
+    "gr-digital/examples/packet/tx_stage2.grc",
+    "gr-digital/examples/packet/tx_stage4.grc",
+    "gr-digital/examples/packet/tx_stage5.grc",
+    "gr-digital/examples/packet/tx_stage6.grc",
+    "gr-digital/examples/packet/tx_stage6a.grc",
     "gr-dtv/examples/dvbs_tx.grc",
     "gr-dtv/examples/dvbt_tx_2k.grc",
     "gr-dtv/examples/dvbt_tx_8k.grc",
@@ -48,10 +70,31 @@ EXAMPLES = [
     "gr-filter/examples/filter_taps.grc",
     "gr-filter/examples/polyphase_channelizer_demo.grc",
     "gr-filter/examples/resampler_demo.grc",
+    "gr-fec/examples/ber_test.grc",
+    "gr-fec/examples/fecapi_async_decoders.grc",
+    "gr-fec/examples/fecapi_async_encoders.grc",
+    "gr-fec/examples/fecapi_async_ldpc_decoders.grc",
+    "gr-fec/examples/fecapi_async_ldpc_encoders.grc",
+    "gr-fec/examples/fecapi_async_packed_decoders.grc",
+    "gr-fec/examples/fecapi_async_to_stream.grc",
+    "gr-fec/examples/fecapi_cc_decoders.grc",
+    "gr-fec/examples/fecapi_ldpc_decoders.grc",
+    "gr-fec/examples/fecapi_ldpc_encoders.grc",
+    "gr-fec/examples/fecapi_polar_async_packed_decoders.grc",
+    "gr-fec/examples/fecapi_polar_decoders.grc",
+    "gr-fec/examples/fecapi_tagged_ldpc_decoders.grc",
+    "gr-fec/examples/fecapi_tagged_ldpc_encoders.grc",
     "gr-network/examples/test_udp_sink.grc",
     "gr-network/examples/test_udp_sink_seq.grc",
     "gr-network/examples/test_udp_source.grc",
     "gr-network/examples/test_udp_source_ipv6.grc",
+    "gr-network/examples/test_udp_source_seq.grc",
+    "gr-qtgui/examples/qtgui_eye_sink_example.grc",
+    "gr-trellis/examples/grc/pccc.grc",
+    "gr-trellis/examples/grc/sccc.grc",
+    "gr-trellis/examples/grc/tcm.grc",
+    "gr-trellis/examples/grc/turbo_equalization.grc",
+    "gr-trellis/examples/grc/viterbi_equalization.grc",
     "gr-qtgui/apps/grc_qt_example.grc",
     "gr-qtgui/examples/qtgui_multi_input.grc",
     "gr-qtgui/examples/qtgui_tags_viewing.grc",
@@ -64,6 +107,9 @@ EXAMPLES = [
     "gr-qtgui/examples/test_compass.grc",
     "gr-qtgui/examples/test_dialcontrol.grc",
     "gr-qtgui/examples/test_dialcontrol2.grc",
+    "gr-qtgui/examples/test_digitalnumcontrol.grc",
+    "gr-qtgui/examples/test_digitalnumcontrol_ro.grc",
+    "gr-qtgui/examples/test_qtgui_msg.grc",
     "gr-qtgui/examples/test_distanceradar.grc",
     "gr-qtgui/examples/test_graphicitem.grc",
     "gr-qtgui/examples/test_graphicscaled.grc",
@@ -90,7 +136,12 @@ def _auto_file_overrides(path, tmpdir):
     import os
     import wave
     import yaml
-    doc = yaml.safe_load(open(REF + path))
+    text = open(REF + path).read()
+    if text.lstrip().startswith("<?xml"):
+        from gnuradio_tpu.grc_import import convert_legacy_xml
+        doc = convert_legacy_xml(text)
+    else:
+        doc = yaml.safe_load(text)
     overrides = {}
     dt_map = {"complex": np.complex64, "float": np.float32,
               "int": np.int32, "short": np.int16, "byte": np.uint8}
@@ -192,4 +243,4 @@ def test_dvbt_tx_2k_grc_runs(tmp_path):
 
 def test_auto_adapter_coverage():
     ids = auto_adapter_ids()
-    assert len(ids) >= 350, f"only {len(ids)} mechanical adapter ids"
+    assert len(ids) >= 400, f"only {len(ids)} mechanical adapter ids"
