@@ -761,7 +761,20 @@ def _adapters():
             int(p.get("sps", 1) or 1), a, mu, mod, pts,
             None if isinstance(ts, str) else ts)
 
+    def rational_resampler(p, ns):
+        from .ops.filter import RationalResampler
+        taps = p.get("taps")
+        if isinstance(taps, str) or (taps is not None and not len(
+                np.atleast_1d(taps))):
+            taps = None
+        kind = str(p.get("type", "ccc"))
+        return RationalResampler(int(p.get("interp", 1) or 1),
+                                 int(p.get("decim", 1) or 1), taps,
+                                 in_complex=not kind.startswith("f"))
+
     return {
+        "rational_resampler_xxx": rational_resampler,
+        "rational_resampler_base_xxx": rational_resampler,
         "digital_linear_equalizer": linear_eq,
         "digital_decision_feedback_equalizer": dfe_eq,
         "digital_chunks_to_symbols_xx": chunks_to_symbols,

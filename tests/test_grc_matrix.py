@@ -122,6 +122,7 @@ EXAMPLES = [
     "gr-qtgui/examples/test_toggleswitch.grc",
     "gr-qtgui/examples/test_toggleswitch2.grc",
     "gr-uhd/examples/grc/uhd_const_wave.grc",
+    "gr-vocoder/examples/loopback-gsmfr.grc",
     "gr-uhd/examples/grc/uhd_normalized_gain.grc",
     "gr-uhd/examples/grc/uhd_siggen_gui.grc",
     "grc/tests/resources/test_cpp.grc",
