@@ -772,7 +772,44 @@ def _adapters():
                                  int(p.get("decim", 1) or 1), taps,
                                  in_complex=not kind.startswith("f"))
 
+    def _filter_hier(kind):
+        def build(p, ns):
+            from .ops import firdes as FD
+            from .ops.filter import FirFilter, InterpFirFilter
+            fs = float(p.get("samp_rate", 1e6) or 1e6)
+            gain = float(p.get("gain", 1) or 1)
+            width = float(p.get("width", fs / 10) or fs / 10)
+            win = p.get("win", FD.WIN_HAMMING) or FD.WIN_HAMMING
+            beta = float(p.get("beta", 6.76) or 6.76)
+            if kind == "low":
+                taps = FD.low_pass(gain, fs, float(p["cutoff_freq"]),
+                                   width, win, beta)
+            elif kind == "high":
+                taps = FD.high_pass(gain, fs, float(p["cutoff_freq"]),
+                                    width, win, beta)
+            elif kind == "band":
+                taps = FD.band_pass(gain, fs, float(p["low_cutoff_freq"]),
+                                    float(p["high_cutoff_freq"]), width,
+                                    win, beta)
+            else:
+                taps = FD.band_reject(gain, fs,
+                                      float(p["low_cutoff_freq"]),
+                                      float(p["high_cutoff_freq"]), width,
+                                      win, beta)
+            t = str(p.get("type", "fir_filter_ccf"))
+            cplx = "_cc" in t
+            interp = int(p.get("interp", 1) or 1)
+            if interp > 1:
+                return InterpFirFilter(interp, taps, in_complex=cplx)
+            return FirFilter(int(p.get("decim", 1) or 1), taps,
+                             in_complex=cplx)
+        return build
+
     return {
+        "low_pass_filter": _filter_hier("low"),
+        "high_pass_filter": _filter_hier("high"),
+        "band_pass_filter": _filter_hier("band"),
+        "band_reject_filter": _filter_hier("reject"),
         "rational_resampler_xxx": rational_resampler,
         "rational_resampler_base_xxx": rational_resampler,
         "digital_linear_equalizer": linear_eq,
@@ -979,8 +1016,8 @@ _REF_ALIASES = {
     "digital_probe_mpsk_snr_est_c": "MpskSnrEst",
     "digital_hdlc_deframer_bp": "hdlc_deframe",
     "digital_hdlc_framer_pb": "hdlc_frame",
-    "vocoder_cvsd_encode_fb": "CvsdEncode",
-    "vocoder_cvsd_decode_bf": "CvsdDecode",
+    "vocoder_cvsd_encode_fb": "cvsd_encode_fb",
+    "vocoder_cvsd_decode_bf": "cvsd_decode_bf",
     "video_sdl_sink": "VideoSink",
     # GUI instrumentation -> headless measurement-pipeline analogs
     # (ops/instrumentation.py); constructor params are best-effort mapped,
@@ -1530,6 +1567,7 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
     # output ports; this runtime requires every output consumed): absorb
     # them into null sinks
     from .ops.blocks import null_sink as _nsink
+    from .ops.blocks import NullSource as _NullSource
     for b in list(fg.blocks):
         used = {e.src.port for e in fg.out_edges(b)}
         for q in range(b.nout):
@@ -1539,6 +1577,17 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
                 solo.name = f"_dangle_{b.name}_{q}"
                 blocks[solo.name] = solo
                 fg.connect((b, q), (solo, 0))
+        # GUI stand-ins reached only through message edges leave their
+        # stream inputs dangling — feed them zeros so the graph validates
+        if isinstance(b, _SinkBase) and getattr(b, "accept_any_msg", False):
+            fed = {e.dst.port for e in fg.in_edges(b)}
+            for q in range(b.nin):
+                if q not in fed:
+                    spec = b.in_ports[q]
+                    zsrc = _NullSource(spec)
+                    zsrc.name = f"_zfeed_{b.name}_{q}"
+                    blocks[zsrc.name] = zsrc
+                    fg.connect((zsrc, 0), (b, q))
     return TopBlock(fg), blocks
 
 

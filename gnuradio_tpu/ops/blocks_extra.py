@@ -185,6 +185,15 @@ class MultiplyMatrix(Block):
         M, N = self.A.shape
         self.in_ports = tuple(PortSpec(dtype) for _ in range(N))
         self.out_ports = tuple(PortSpec(dtype) for _ in range(M))
+        # 'set_A' message port (multiply_matrix_impl.cc msg_handler):
+        # replaces the matrix; shape must match. Applies at the next
+        # lock()/unlock() recompile like other live-param updates.
+        self.message_port_register_in("set_A", self._on_set_a)
+
+    def _on_set_a(self, msg):
+        A = np.asarray(msg)
+        if A.shape == self.A.shape:
+            self.A = A
 
     def apply(self, state, inputs, n_in):
         X = jnp.stack(inputs, axis=0)               # [N, n]

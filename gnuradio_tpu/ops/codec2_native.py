@@ -42,7 +42,10 @@ def _lpc(x, order=_ORDER):
     r = np.array([np.dot(xw[: len(xw) - k], xw[k:]) for k in range(order + 1)])
     r[0] *= 1.0 + 1e-5          # white-noise correction
     if r[0] <= 0:
-        return np.zeros(order), 1e-6
+        # silence: A(z) = 1 (order+1 coeffs, same shape as the LD result)
+        a0 = np.zeros(order + 1)
+        a0[0] = 1.0
+        return a0, 1e-6
     a = np.zeros(order + 1)
     a[0] = 1.0
     err = r[0]

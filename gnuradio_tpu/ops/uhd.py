@@ -146,6 +146,19 @@ class UsrpSource(StreamSource):
         data = getattr(self.backend, "data", np.zeros(0, np.complex64))
         super().__init__(data, PortSpec(C), repeat=False, name=name,
                          tags=[])
+        # 'command' message port (usrp_block_impl.cc msg_handler_command):
+        # dict keys freq/lo_freq/gain/rate apply like the setter calls
+        self.message_port_register_in("command", self._on_command)
+
+    def _on_command(self, msg):
+        if not isinstance(msg, dict):
+            return
+        if "freq" in msg or "lo_freq" in msg:
+            self.set_center_freq(float(msg.get("freq", msg.get("lo_freq"))))
+        if "gain" in msg:
+            self.set_gain(float(msg["gain"]))
+        if "rate" in msg:
+            self.set_samp_rate(float(msg["rate"]))
 
     # --- control surface (usrp_block_impl.cc) ---
     def issue_stream_cmd(self, cmd: StreamCmd):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.block import SyncBlock
+from ..core.hier import HierBlock
 from ..core.stream import PortSpec, B, S, F
 
 
@@ -160,6 +161,60 @@ class CvsdEncode(SyncBlock):
             step_fn, (state["acc"], state["step"], state["hist"]), x)
         return ({"acc": acc, "step": stp, "hist": hist},
                 bits.astype(jnp.int8))
+
+
+class CvsdEncodeFb(HierBlock):
+    """cvsd_encode_fb python hier (gr-vocoder/python/vocoder/cvsd.py):
+    float audio -> [interpolate x resample] -> short -> CVSD bits ->
+    packed bytes. One output byte per input sample at resample=8."""
+
+    def __init__(self, resample: int = 8, bw: float = 0.5, name=None):
+        super().__init__(name or "cvsd_encode_fb",
+                         in_ports=(PortSpec(F),), out_ports=(PortSpec(B),))
+        from .blocks import multiply_const_ff, float_to_short
+        from .digital import pack_k_bits_bb
+        from .filter import RationalResampler
+        chain = []
+        if int(resample) > 1:
+            chain.append(RationalResampler(int(resample), 1,
+                                           in_complex=False))
+        chain += [multiply_const_ff(32000.0), float_to_short(),
+                  CvsdEncode(), pack_k_bits_bb(8)]
+        prev = (self, 0)
+        for b in chain:
+            self.connect(prev, b)
+            prev = b
+        self.connect(prev, (self, 0))
+
+
+class CvsdDecodeBf(HierBlock):
+    """cvsd_decode_bf python hier: packed bytes -> CVSD short estimate ->
+    float -> [decimate x resample]."""
+
+    def __init__(self, resample: int = 8, bw: float = 0.5, name=None):
+        super().__init__(name or "cvsd_decode_bf",
+                         in_ports=(PortSpec(B),), out_ports=(PortSpec(F),))
+        from .blocks import multiply_const_ff, short_to_float
+        from .digital import unpack_k_bits_bb
+        from .filter import RationalResampler
+        chain = [unpack_k_bits_bb(8), CvsdDecode(), short_to_float(),
+                 multiply_const_ff(1.0 / 32000.0)]
+        if int(resample) > 1:
+            chain.append(RationalResampler(1, int(resample),
+                                           in_complex=False))
+        prev = (self, 0)
+        for b in chain:
+            self.connect(prev, b)
+            prev = b
+        self.connect(prev, (self, 0))
+
+
+def cvsd_encode_fb(resample=8, bw=0.5, **_):
+    return CvsdEncodeFb(int(resample or 8), float(bw or 0.5))
+
+
+def cvsd_decode_bf(resample=8, bw=0.5, **_):
+    return CvsdDecodeBf(int(resample or 8), float(bw or 0.5))
 
 
 class CvsdDecode(SyncBlock):

@@ -24,17 +24,23 @@ EXAMPLES = [
     "gr-blocks/examples/msg_passing/strobe.grc",
     "gr-blocks/examples/msg_to_var.grc",
     "gr-blocks/examples/peak_detector2.grc",
+    "gr-blocks/examples/matrix_multiplexer.grc",
+    "gr-blocks/examples/py_snippets_demo.grc",
+    "gr-blocks/examples/selector.grc",
     "gr-blocks/examples/test_stream_mux_tags.grc",
     "gr-blocks/examples/var_to_msg.grc",
     "gr-blocks/examples/vector_source_with_tags.grc",
     "gr-channels/examples/channel_tone_response.grc",
+    "gr-audio/examples/grc/cvsd_sweep.grc",
     "gr-channels/examples/demo_gmsk.grc",
     "gr-channels/examples/demo_ofdm.grc",
     "gr-channels/examples/demo_qam.grc",
     "gr-channels/examples/demo_spec_an.grc",
+    "gr-channels/examples/demo_quantization.grc",
     "gr-channels/examples/demo_two_tone.grc",
     "gr-digital/examples/burst_shaper.grc",
     "gr-digital/examples/demod/digital_freq_lock.grc",
+    "gr-digital/examples/demod/constellation_soft_decoder.grc",
     "gr-digital/examples/demod/pam_sync.grc",
     "gr-digital/examples/demod/pam_timing.grc",
     "gr-digital/examples/demod/test_corr_est.grc",
@@ -53,6 +59,7 @@ EXAMPLES = [
     "gr-digital/examples/packet/tx_stage1.grc",
     "gr-digital/examples/packet/tx_stage2.grc",
     "gr-digital/examples/packet/tx_stage4.grc",
+    "gr-digital/examples/packet/tx_stage3.grc",
     "gr-digital/examples/packet/tx_stage5.grc",
     "gr-digital/examples/packet/tx_stage6.grc",
     "gr-digital/examples/packet/tx_stage6a.grc",
@@ -91,12 +98,14 @@ EXAMPLES = [
     "gr-network/examples/test_udp_source_seq.grc",
     "gr-qtgui/examples/qtgui_eye_sink_example.grc",
     "gr-trellis/examples/grc/pccc.grc",
+    "gr-trellis/examples/grc/interference_cancellation.grc",
     "gr-trellis/examples/grc/sccc.grc",
     "gr-trellis/examples/grc/tcm.grc",
     "gr-trellis/examples/grc/turbo_equalization.grc",
     "gr-trellis/examples/grc/viterbi_equalization.grc",
     "gr-qtgui/apps/grc_qt_example.grc",
     "gr-qtgui/examples/qtgui_multi_input.grc",
+    "gr-qtgui/examples/qtgui_message_inputs.grc",
     "gr-qtgui/examples/qtgui_tags_viewing.grc",
     "gr-qtgui/examples/show_controls.grc",
     "gr-qtgui/examples/show_controls2.grc",
@@ -113,6 +122,7 @@ EXAMPLES = [
     "gr-qtgui/examples/test_distanceradar.grc",
     "gr-qtgui/examples/test_graphicitem.grc",
     "gr-qtgui/examples/test_graphicscaled.grc",
+    "gr-qtgui/examples/test_graphicitem_overlay.grc",
     "gr-qtgui/examples/test_led.grc",
     "gr-qtgui/examples/test_levelgauge.grc",
     "gr-qtgui/examples/test_msgcheckbox.grc",
@@ -122,7 +132,10 @@ EXAMPLES = [
     "gr-qtgui/examples/test_toggleswitch.grc",
     "gr-qtgui/examples/test_toggleswitch2.grc",
     "gr-uhd/examples/grc/uhd_const_wave.grc",
+    "gr-uhd/examples/grc/uhd_fft.grc",
+    "gr-uhd/examples/grc/uhd_msg_tune.grc",
     "gr-vocoder/examples/loopback-gsmfr.grc",
+    "gr-vocoder/examples/grfreedv.grc",
     "gr-uhd/examples/grc/uhd_normalized_gain.grc",
     "gr-uhd/examples/grc/uhd_siggen_gui.grc",
     "grc/tests/resources/test_cpp.grc",
