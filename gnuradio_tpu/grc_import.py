@@ -805,7 +805,37 @@ def _adapters():
                              in_complex=cplx)
         return build
 
+    def symbol_sync(p, ns):
+        from .ops import symbol_sync as SS
+        from .ops.stream_compat import _noop  # noqa: F401  (namespacing)
+        const = p.get("constellation")
+        slicer = None
+        if const is not None and not isinstance(const, str):
+            pts = np.asarray(getattr(const, "points", const),
+                             np.complex64).reshape(-1)
+
+            def slicer(z, _pts=jnp_pts_holder(pts)):
+                import jax.numpy as jnp
+                d = jnp.abs(z - _pts()) ** 2
+                return _pts()[jnp.argmin(d)]
+        t = str(p.get("type", "cc"))
+        from .ops.symbol_sync import SymbolSync
+        mf = p.get("pfb_mf_taps")
+        if isinstance(mf, str) or (mf is not None and not len(
+                np.atleast_1d(mf))):
+            mf = None
+        return SymbolSync(
+            float(p.get("sps", 2) or 2), float(p.get("loop_bw", 0.045)),
+            str(p.get("ted_type", SS.TED_GARDNER)),
+            float(p.get("damping", 1.0) or 1.0),
+            float(p.get("ted_gain", 1.0) or 1.0),
+            float(p.get("max_dev", 1.5) or 1.5), slicer,
+            str(p.get("resamp_type", SS.IR_MMSE_8TAP)),
+            int(p.get("nfilters", 32) or 32), mf,
+            dtype=F if t.startswith("f") else C, debug_outputs=True)
+
     return {
+        "digital_symbol_sync_xx": symbol_sync,
         "low_pass_filter": _filter_hier("low"),
         "high_pass_filter": _filter_hier("high"),
         "band_pass_filter": _filter_hier("band"),
@@ -1167,6 +1197,52 @@ _SKIP_IDS = {"variable", "variable_qtgui_label", "variable_qtgui_range",
              "import", "parameter", "note", "virtual_sink", "virtual_source"}
 
 
+def _ensure_gnuradio_shim():
+    """Install `gnuradio` / `gnuradio.gr` shim modules (if no real ones
+    exist) so embedded-python-block sources can `from gnuradio import gr`;
+    gr.sync_block & co are the gateway trampoline classes."""
+    import sys
+    import types
+    if "gnuradio" in sys.modules:
+        return
+    from . import gateway as GW
+    from .core import pmt as _pmt
+    gr = types.ModuleType("gnuradio.gr")
+    gr.sync_block = GW.sync_block
+    gr.decim_block = GW.decim_block
+    gr.interp_block = GW.interp_block
+    gr.basic_block = GW.basic_block
+    gnuradio = types.ModuleType("gnuradio")
+    gnuradio.gr = gr
+    sys.modules["gnuradio"] = gnuradio
+    sys.modules["gnuradio.gr"] = gr
+    sys.modules.setdefault("pmt", _pmt)
+
+
+def _build_epy_block(bid: str, source: str, params: dict):
+    import inspect
+    from .gateway import _GatewayBlock
+    _ensure_gnuradio_shim()
+    module_ns: dict = {}
+    exec(str(source), module_ns)  # noqa: S102 — GRC embedded block source
+    cls = next((v for v in module_ns.values()
+                if inspect.isclass(v) and issubclass(v, _GatewayBlock)
+                and v is not _GatewayBlock
+                and v.__module__ == "builtins"), None)
+    if cls is None:
+        cls = next((v for v in module_ns.values()
+                    if inspect.isclass(v)
+                    and issubclass(v, _GatewayBlock)
+                    and not v.__name__.islower()), None)
+    if cls is None:
+        raise ValueError(f"{bid}: no gateway block class in epy source")
+    sig = inspect.signature(cls.__init__)
+    kwargs = {k: v for k, v in params.items()
+              if k in sig.parameters and k not in ("self",)
+              and not k.startswith("_")}
+    return cls(**kwargs)
+
+
 _TS_DEFERRED_IDS = ("blocks_tagged_stream_mux", "digital_crc32_bb",
                     "digital_protocol_formatter_bb", "digital_burst_shaper_xx")
 
@@ -1486,6 +1562,16 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
             # walking the upstream chain's rate ratios (_resolve_ts_blocks)
             ts_deferred[bid] = (btype,
                                {k: _eval(v, ns) for k, v in params.items()})
+            continue
+        if btype == "epy_block":
+            # embedded python block: exec the stored source with a
+            # `gnuradio.gr` shim mapping gr.sync_block etc. onto the
+            # gateway trampoline, then instantiate the first gateway
+            # subclass found — GRC's own convention for epy blocks
+            pe = {k: _eval(v, ns) for k, v in params.items()}
+            b = _build_epy_block(bid, params.get("_source_code", ""), pe)
+            b.name = bid
+            blocks[bid] = b
             continue
         ad = adapters.get(btype)
         if ad is None:

@@ -66,10 +66,17 @@ class SymbolSync(Block):
                  damping: float = 1.0, ted_gain: float = 1.0,
                  max_deviation: float = 1.5, constellation_slicer=None,
                  interp_type: str = IR_MMSE_8TAP, nfilts: int = 32,
-                 mf_taps=None, name=None):
+                 mf_taps=None, dtype=C, debug_outputs: bool = False,
+                 name=None):
         super().__init__(name)
-        self.in_ports = (PortSpec(C),)
-        self.out_ports = (PortSpec(C),)
+        self.dtype = dtype
+        self.debug = bool(debug_outputs)
+        self.in_ports = (PortSpec(dtype),)
+        # optional debug outputs (symbol_sync_xx_impl.cc ports 1-3):
+        # TED error, instantaneous period, average period
+        self.out_ports = ((PortSpec(dtype), PortSpec(F), PortSpec(F),
+                           PortSpec(F)) if self.debug
+                          else (PortSpec(dtype),))
         self.sps = float(sps)
         self.isps = int(round(sps))
         self.ted_type = ted_type
@@ -155,17 +162,17 @@ class SymbolSync(Block):
 
     @property
     def out_rates(self):
-        return (Fraction(1),)
+        return tuple(Fraction(1) for _ in self.out_ports)
 
     def init_state(self):
-        return {"tail": jnp.zeros(self.SLACK, C),
+        return {"tail": jnp.zeros(self.SLACK, self.dtype),
                 "pos": jnp.float32(0.0),
                 "avg_period": jnp.float32(self.sps),
-                "prev": jnp.zeros((), C),       # previous symbol sample
-                "prev2": jnp.zeros((), C),      # symbol before that
-                "prev_mid": jnp.zeros((), C),   # previous mid sample
-                "prev_d": jnp.zeros((), C),     # previous decision
-                "prev_d2": jnp.zeros((), C)}
+                "prev": jnp.zeros((), self.dtype),   # previous symbol
+                "prev2": jnp.zeros((), self.dtype),  # symbol before that
+                "prev_mid": jnp.zeros((), self.dtype),
+                "prev_d": jnp.zeros((), self.dtype),  # previous decision
+                "prev_d2": jnp.zeros((), self.dtype)}
 
     def _ted(self, s):
         """Error expressions per timing_error_detector.cc compute_error_cf.
@@ -234,19 +241,26 @@ class SymbolSync(Block):
             avg_p = jnp.clip(avg_p + self.beta * e, pmin, pmax)
             inst_p = jnp.clip(avg_p + self.alpha * e, pmin, pmax)
             pos = pos + inst_p
-            return (pos, avg_p, curr, prev, mid, d_curr, prev_d), curr
+            return ((pos, avg_p, curr, prev, mid, d_curr, prev_d),
+                    (curr, e, inst_p, avg_p))
 
         carry0 = (state["pos"], state["avg_period"], state["prev"],
                   state["prev2"], state["prev_mid"], state["prev_d"],
                   state["prev_d2"])
-        (pos, avg_p, prev, prev2, prev_mid, prev_d, prev_d2), y = \
-            jax.lax.scan(step, carry0, None, length=n_out)
+        (pos, avg_p, prev, prev2, prev_mid, prev_d, prev_d2), \
+            (y, err, tinst, tavg) = jax.lax.scan(step, carry0, None,
+                                                 length=n_out)
         new_tail = xp[xp.shape[0] - self.SLACK:]
         state2 = {"tail": new_tail, "pos": pos - jnp.float32(n),
                   "avg_period": avg_p, "prev": prev, "prev2": prev2,
                   "prev_mid": prev_mid, "prev_d": prev_d,
                   "prev_d2": prev_d2}
-        return state2, (y.astype(C),)
+        if self.debug:
+            return state2, (y.astype(self.dtype),
+                            jnp.real(err).astype(jnp.float32),
+                            tinst.astype(jnp.float32),
+                            tavg.astype(jnp.float32))
+        return state2, (y.astype(self.dtype),)
 
 
 def symbol_sync_cc(sps, loop_bw, ted_type=TED_GARDNER, damping=1.0,
