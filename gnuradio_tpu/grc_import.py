@@ -69,9 +69,11 @@ def _generic_mod_expr(constellation, differential=True,
 
 
 def _generic_demod_expr(constellation, differential=True,
-                        samples_per_symbol=2, excess_bw=0.35,
-                        freq_bw=0.06, timing_bw=0.045, phase_bw=0.0628,
-                        pre_diff_code=True, verbose=False, log=False, **_):
+                        samples_per_symbol=2, pre_diff_code=True,
+                        excess_bw=0.35, freq_bw=0.06, timing_bw=0.045,
+                        phase_bw=0.0628, verbose=False, log=False, **_):
+    """Positional order matches the reference generic_demod signature
+    (generic_mod_demod.py:233: pre_diff_code is 4th, before excess_bw)."""
     from .ops.digital_hier import GenericDemod
     return GenericDemod(constellation, bool(differential),
                         int(samples_per_symbol), float(excess_bw))
@@ -287,11 +289,16 @@ def _read_alist_any(path: str) -> np.ndarray:
     import os
     from .ops.fec_ldpc import read_alist
     if not os.path.exists(path):
-        cand = os.path.join("/root/reference/gr-fec/ldpc_alist",
-                            os.path.basename(path.replace('"', "")
-                                             .replace("'", "").strip()))
-        if os.path.exists(cand):
-            path = cand
+        base = os.path.basename(path.replace('"', "").replace("'", "")
+                                .strip())
+        dirs = [p for p in os.environ.get("GRTPU_LDPC_ALIST_DIRS",
+                                          "").split(":") if p]
+        dirs.append("/root/reference/gr-fec/ldpc_alist")
+        for d in dirs:
+            cand = os.path.join(d, base)
+            if os.path.exists(cand):
+                path = cand
+                break
     return read_alist(path)
 
 

@@ -46,13 +46,18 @@ from . import trellis_turbo as TT
 TRELLIS_MIN_SUM = 200
 TRELLIS_SUM_PRODUCT = 201
 
-# the reference installs its example FSM definition files (plain numeric
-# tables) here; fsm() resolves the @FSM_FILE_INSTALL_DIR@ placeholder GRC
-# graphs carry to this directory
-FSM_FILE_DIRS = (
-    "/root/reference/gr-trellis/examples/python/fsm_files",
-    "/root/reference/gr-trellis/python/trellis",
-)
+# FSM definition files (plain numeric tables): resolved from
+# $GRTPU_FSM_FILE_DIRS (colon-separated) first, with the reference
+# checkout's install locations as last-resort fallbacks so this machine's
+# layout isn't baked into runtime behavior.
+import os as _os
+
+FSM_FILE_DIRS = tuple(
+    [p for p in _os.environ.get("GRTPU_FSM_FILE_DIRS", "").split(":") if p]
+    + [
+        "/root/reference/gr-trellis/examples/python/fsm_files",
+        "/root/reference/gr-trellis/python/trellis",
+    ])
 
 
 def fsm(*args):

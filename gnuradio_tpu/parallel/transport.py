@@ -126,6 +126,7 @@ class StreamClient:
                  lazy: bool = False):
         self._addr, self._port, self._timeout = addr, int(port), timeout
         self._sock = None
+        self._rxbuf = bytearray()   # partial-frame reassembly (poll path)
         if not lazy:
             self._connect()
 
@@ -133,17 +134,25 @@ class StreamClient:
         import time as _time
         deadline = _time.time() + self._timeout
         last = None
-        while _time.time() < deadline:
+        while True:
+            # always make at least one attempt, even with timeout <= 0;
+            # cap the per-attempt timeout at the remaining deadline so the
+            # worst-case wait is ~the configured timeout, not 2x.
+            attempt_to = max(0.05, min(self._timeout,
+                                       deadline - _time.time()))
             try:
                 self._sock = socket.create_connection(
-                    (self._addr, self._port), timeout=self._timeout)
+                    (self._addr, self._port), timeout=attempt_to)
                 self._sock.setsockopt(socket.IPPROTO_TCP,
                                       socket.TCP_NODELAY, 1)
                 return
             except OSError as e:
                 last = e
+                if _time.time() >= deadline:
+                    break
                 _time.sleep(0.05)
-        raise last
+        raise last if last is not None else TimeoutError(
+            f"connect to {self._addr}:{self._port} timed out")
 
     def _ensure(self):
         if self._sock is None:
@@ -153,14 +162,58 @@ class StreamClient:
         """-> (kind, offset, nitems, itemsize, tags, payload) or None on
         EOF."""
         self._ensure()
-        hdr = _read_exact(self._sock, 4)
-        if hdr is None:
+        # drain a buffered frame first (the poll path may have read ahead)
+        fr = self._pop_buffered_frame()
+        if fr is not None:
+            return fr
+        need = 4 + (struct.unpack("<I", bytes(self._rxbuf[:4]))[0]
+                    if len(self._rxbuf) >= 4 else 0)
+        while True:
+            missing = need - len(self._rxbuf)
+            if missing > 0:
+                chunk = _read_exact(self._sock, missing)
+                if chunk is None:
+                    return None
+                self._rxbuf += chunk
+            if len(self._rxbuf) >= 4:
+                need = 4 + struct.unpack("<I", bytes(self._rxbuf[:4]))[0]
+            fr = self._pop_buffered_frame()
+            if fr is not None:
+                return fr
+
+    def _pop_buffered_frame(self):
+        """Parse ONE complete frame from the reassembly buffer, or None.
+        Partial bytes stay buffered — a timeout mid-frame never
+        desynchronizes the length-prefixed stream."""
+        if len(self._rxbuf) < 4:
             return None
-        (n,) = struct.unpack("<I", hdr)
-        body = _read_exact(self._sock, n)
-        if body is None:
+        (n,) = struct.unpack("<I", bytes(self._rxbuf[:4]))
+        if len(self._rxbuf) < 4 + n:
             return None
+        body = bytes(self._rxbuf[4:4 + n])
+        del self._rxbuf[:4 + n]
         return _unpack_frame(body)
+
+    def poll_frames(self, timeout: float = 0.05):
+        """Non-blocking-ish poll: read whatever bytes are available within
+        `timeout`, buffer partial frames across calls, and yield only
+        complete frames."""
+        self._ensure()
+        self._sock.settimeout(timeout)
+        frames = []
+        try:
+            while True:
+                fr = self._pop_buffered_frame()
+                if fr is not None:
+                    frames.append(fr)
+                    continue
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    break       # EOF; return what we have
+                self._rxbuf += chunk
+        except (socket.timeout, OSError):
+            pass
+        return frames
 
     def recv_items(self, dtype):
         fr = self.recv_frame()
@@ -493,20 +546,42 @@ class ReqStreamSource(SourceBlock):
         self.items_supplied = 0
 
     def chunks(self, n: int):
+        # A short (non-empty) REP reply is NOT end-of-stream — RepServer
+        # legitimately returns min(count, buffered) while the feeder is
+        # still filling. Accumulate real items until n are available (like
+        # TcpStreamSource.chunks) and only zero-pad at true EOF, so no
+        # fabricated zeros are interleaved mid-stream.
+        import time as _time
         np_dtype = np.dtype(self.out_ports[0].dtype)
+        buf = np.zeros(0, np_dtype)
         self.items_supplied = 0
-        while True:
-            got = self.client.request_items(n, np_dtype)
-            if got is None:
+        eof = False
+        empty_polls = 0
+        while not eof:
+            while len(buf) < n:
+                got = self.client.request_items(n - len(buf), np_dtype)
+                if got is None:
+                    eof = True
+                    break
+                if got[0].shape[0] == 0:
+                    # empty reply: feeder may still be filling — retry
+                    # briefly; persistent empties mean end-of-stream.
+                    empty_polls += 1
+                    if empty_polls > 20:
+                        eof = True
+                        break
+                    _time.sleep(0.01)
+                    continue
+                empty_polls = 0
+                buf = np.concatenate([buf, got[0]])
+            if len(buf) == 0:
                 return
-            arr, _, _tags = got
-            if arr.shape[0] == 0:
-                return
-            self.items_supplied += arr.shape[0]
-            if arr.shape[0] < n:
-                arr = np.concatenate([arr, np.zeros(n - arr.shape[0],
-                                                    np_dtype)])
-            yield host_encode(arr)
+            chunk, buf = buf[:n], buf[n:]
+            self.items_supplied += len(chunk)
+            if len(chunk) < n:
+                chunk = np.concatenate([chunk, np.zeros(n - len(chunk),
+                                                        np_dtype)])
+            yield host_encode(chunk)
 
     def apply(self, state, inputs, n_in):
         return state, (inputs[0],)
@@ -548,13 +623,8 @@ class ZmqMsgSource(SourceBlock):
 
     def msg_work(self, step_index):
         try:
-            self.client._ensure()
-            self.client._sock.settimeout(0.05)
-            while True:
-                m = self.client.recv_message()
-                if m is None:
-                    return
-                self.post("out", m)
+            for fr in self.client.poll_frames(0.05):
+                self.post("out", pmt.deserialize(fr[5]))
         except (socket.timeout, OSError):
             pass
 
