@@ -79,6 +79,160 @@ def _generic_demod_expr(constellation, differential=True,
                         int(samples_per_symbol), float(excess_bw))
 
 
+# ---------------------------------------------------------------------------
+# DVB-T2 / DVB-S2 GRC param translation (enum strings per
+# gr-dtv/grc/dtv_dvb*_*.block.yml; suffixed variants rate1..rate5,
+# framesize1/2, fftsize1/2, paprmode1/2, preamble1/2 are selected by the
+# same standard/framesize/version conditions the Mako templates use)
+# ---------------------------------------------------------------------------
+
+def _T2B():
+    from .ops import dvbt2_blocks as TB
+    return TB
+
+
+def _enum_framesize(v) -> str:
+    s = str(v or "FECFRAME_NORMAL")
+    if "MEDIUM" in s:
+        return "medium"
+    return "short" if "SHORT" in s else "normal"
+
+
+def _enum_constellation(v) -> str:
+    s = str(v or "MOD_QPSK").replace("MOD_", "").lower()
+    return s
+
+
+def _enum_rate(v) -> str:
+    s = str(v or "C1_2").replace("C", "", 1).replace("_MEDIUM", "")
+    return s.replace("_", "/")
+
+
+def _dvb_pick(p):
+    """(is_t2, framesize, rate) via the dtv_dvb_* template conditions."""
+    t2 = "T2" in str(p.get("standard", "STANDARD_DVBT2"))
+    fs = p.get("framesize1" if t2 else "framesize2",
+               p.get("framesize", "FECFRAME_NORMAL"))
+    framesize = _enum_framesize(fs)
+    if t2:
+        r = p.get("rate1") if framesize == "normal" else p.get("rate2")
+    else:
+        r = {"normal": p.get("rate3"), "medium": p.get("rate4"),
+             "short": p.get("rate5")}[framesize]
+    return t2, framesize, _enum_rate(r or p.get("rate"))
+
+
+def _dvb_fec_cfg(p, t2_tables=False):
+    from .ops.dvbs2 import DVBS2Config
+    from .ops.dvbt2 import DVBT2Config
+    t2, framesize, rate = _dvb_pick(p)
+    if t2 and t2_tables:
+        return DVBT2Config(framesize, rate, "qpsk")
+    return DVBS2Config(framesize, rate, "qpsk")
+
+
+def _t2_fec_cfg(p):
+    """For dtv_dvbt2_interleaver_bb / modulator_bc: plain framesize /
+    rate / constellation / rotation params."""
+    from .ops.dvbt2 import DVBT2Config
+    framesize = _enum_framesize(p.get("framesize"))
+    rate = _enum_rate(p.get("rate", "C1_2"))
+    cons = _enum_constellation(p.get("constellation"))
+    rot = "ON" in str(p.get("rotation", "ROTATION_OFF"))
+    return DVBT2Config(framesize, rate, cons, rot)
+
+
+_T2_FFT_T2GI_S2 = {"8K_T2GI": 6, "16K_T2GI": 3, "32K_T2GI": 7}
+_T2_DEFAULT_PP = {"1K": "PP1", "2K": "PP1", "4K": "PP1", "8K": "PP1",
+                  "16K": "PP1", "32K": "PP2"}
+
+
+def _t2_frame_params(p, force_miso=False):
+    from .ops.dvbt2_frame import T2Params
+    version = {"VERSION_111": "1.1.1", "VERSION_121": "1.2.1",
+               "VERSION_131": "1.3.1"}.get(str(p.get("version",
+                                                     "VERSION_111")),
+                                           "1.1.1")
+    v111 = version == "1.1.1"
+    preamble = str(p.get("preamble", p.get("preamble1") if v111
+                         else p.get("preamble2")) or "PREAMBLE_T2_SISO")
+    preamble = preamble.replace("PREAMBLE_", "")
+    if force_miso and "MISO" not in preamble:
+        preamble = "T2_MISO"
+    base_t2 = preamble in ("T2_SISO", "T2_MISO")
+    fft = p.get("fftsize")
+    if fft is None:
+        fft = p.get("fftsize1") if (v111 or base_t2) else p.get("fftsize2")
+    fft = str(fft or "FFTSIZE_2K").replace("FFTSIZE_", "")
+    s2_override = _T2_FFT_T2GI_S2.get(fft)
+    fft = fft.replace("_T2GI", "")
+    papr = str(p.get("paprmode", p.get("paprmode1") if v111
+                     else p.get("paprmode2")) or "PAPR_OFF")
+    papr = papr.replace("PAPR_", "").lower()
+    gi = str(p.get("guardinterval", "GI_1_32")).replace("GI_", "")
+    gi = gi.replace("_", "/")
+    pp = str(p.get("pilotpattern", "") or "").replace("PILOT_", "")
+    if not pp:
+        pp = _T2_DEFAULT_PP[fft]
+    bw = str(p.get("bandwidth", "BANDWIDTH_8_0_MHZ"))
+    bw = {"BANDWIDTH_1_7_MHZ": "1.7MHz", "BANDWIDTH_5_0_MHZ": "5MHz",
+          "BANDWIDTH_6_0_MHZ": "6MHz", "BANDWIDTH_7_0_MHZ": "7MHz",
+          "BANDWIDTH_8_0_MHZ": "8MHz",
+          "BANDWIDTH_10_0_MHZ": "10MHz"}.get(bw, "8MHz")
+    params = T2Params(
+        fftsize=fft,
+        guardinterval=gi,
+        pilotpattern=pp,
+        carriermode="extended" if "EXTENDED" in str(
+            p.get("carriermode", "")) else "normal",
+        preamble=preamble,
+        misogroup=2 if "TX2" in str(p.get("misogroup", "")) else 1,
+        paprmode=papr,
+        version=version,
+        l1constellation=str(p.get("l1constellation", "L1_MOD_16QAM"))
+        .replace("L1_MOD_", "").lower(),
+        l1scrambled="ON" in str(p.get("l1scrambled", "")),
+        reservedbiasbits="RESERVED_ON" in str(p.get("reservedbiasbits",
+                                                    "")),
+        inputmode="hiefficiency" if "HIEFF" in str(
+            p.get("inputmode", "")) else "normal",
+        inband="INBAND_ON" in str(p.get("inband", "")),
+        t2frames=int(p.get("t2frames", 2) or 2),
+        numdatasyms=int(p.get("numdatasyms", 100) or 100),
+        fecblocks=int(p.get("fecblocks", 1) or 1),
+        tiblocks=int(p.get("tiblocks", 0) or 0),
+        framesize=_enum_framesize(p.get("framesize")),
+        rate=_enum_rate(p.get("rate", "C1_2")),
+        constellation=_enum_constellation(p.get("constellation",
+                                                "MOD_QPSK")),
+        rotation="ON" in str(p.get("rotation", "ROTATION_OFF")),
+        bandwidth=bw,
+        vclip=float(p.get("vclip", 3.3) or 3.3),
+        papr_iterations=int(p.get("iterations", 3) or 3),
+        equalization="EQUALIZATION_ON" in str(p.get("equalization", "")),
+    )
+    if s2_override is not None:
+        params.s2_fft = s2_override
+    return params
+
+
+def _dvbs2_rate(p) -> str:
+    framesize = _enum_framesize(p.get("framesize"))
+    return _enum_rate(p.get("rate1") if framesize == "normal"
+                      else (p.get("rate2") if framesize == "medium"
+                            else p.get("rate3")))
+
+
+def _dvbs2_cfg(p):
+    from .ops.dvbs2 import DVBS2Config
+    framesize = _enum_framesize(p.get("framesize"))
+    rate = _dvbs2_rate(p)
+    return DVBS2Config(framesize, rate,
+                       _enum_constellation(p.get("constellation")),
+                       pilots="PILOTS_ON" in str(p.get("pilots", "")),
+                       goldcode=int(p.get("goldcode", 0) or 0))
+
+
 def _base_namespace():
     from .ops import firdes as _firdes
     from .ops import analog as _analog
@@ -241,7 +395,7 @@ def _null_sink_for(params):
     import jax.numpy as jnp
     t = _dtype_of(params)
     vlen = int(params.get("vlen", 1) or 1)
-    n = int(params.get("nconnections", 1) or 1)
+    n = int(params.get("nconnections", params.get("nchan", 1) or 1) or 1)
     if n <= 1:
         return null_sink(t, vlen)
     return _MultiNullSink(PortSpec(t, vlen), n)
@@ -905,6 +1059,63 @@ def _adapters():
         "uhd_usrp_source": lambda p, ns: __import__(
             "gnuradio_tpu.ops.uhd", fromlist=["x"]
         ).usrp_source(samp_rate=float(p.get("samp_rate", 1e6) or 1e6)),
+        # --- DVB-T2 / DVB-S2 TX chain (gr-dtv/grc/dtv_dvb*_*.block.yml
+        # param-pick templates replicated in _dvb_* helpers below) ---
+        "dtv_dvb_bbheader_bb": lambda p, ns: _T2B().DvbBBHeader(
+            _dvb_fec_cfg(p)),
+        "dtv_dvb_bbscrambler_bb": lambda p, ns: _T2B().DvbBBScrambler(
+            _dvb_fec_cfg(p)),
+        "dtv_dvb_bch_bb": lambda p, ns: _T2B().DvbBCH(_dvb_fec_cfg(p)),
+        "dtv_dvb_ldpc_bb": lambda p, ns: _T2B().DvbLDPC(
+            _dvb_fec_cfg(p, t2_tables=True),
+            standard="DVBT2" if "T2" in str(p.get("standard", ""))
+            else "DVBS2"),
+        "dtv_dvbt2_interleaver_bb": lambda p, ns: _T2B().Dvbt2InterleaverBB(
+            _t2_fec_cfg(p)),
+        "dtv_dvbt2_modulator_bc": lambda p, ns: _T2B().Dvbt2ModulatorBC(
+            _t2_fec_cfg(p)),
+        "dtv_dvbt2_cellinterleaver_cc": lambda p, ns:
+            _T2B().Dvbt2CellInterleaver(
+                _enum_framesize(p.get("framesize")),
+                _enum_constellation(p.get("constellation")),
+                int(p.get("fecblocks", 1) or 1),
+                int(p.get("tiblocks", 0) or 0)),
+        "dtv_dvbt2_framemapper_cc": lambda p, ns: _T2B().Dvbt2FrameMapper(
+            _t2_frame_params(p)),
+        "dtv_dvbt2_freqinterleaver_cc": lambda p, ns:
+            _T2B().Dvbt2FreqInterleaver(_t2_frame_params(p)),
+        "dtv_dvbt2_pilotgenerator_cc": lambda p, ns:
+            _T2B().Dvbt2PilotGenerator(_t2_frame_params(p)),
+        "dtv_dvbt2_paprtr_cc": lambda p, ns: _T2B().Dvbt2Paprtr(
+            _t2_frame_params(p)),
+        "dtv_dvbt2_p1insertion_cc": lambda p, ns: _T2B().Dvbt2P1Insertion(
+            _t2_frame_params(p)),
+        "dtv_dvbt2_miso_cc": lambda p, ns: _T2B().Dvbt2Miso(
+            _t2_frame_params(p, force_miso=True)),
+        "dtv_catv_transport_framing_enc_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
+        ).CatvTransportFraming(),
+        "dtv_catv_reed_solomon_enc_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
+        ).CatvReedSolomonEnc(),
+        "dtv_catv_randomizer_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
+        ).CatvRandomizer(p.get("constellation", "CATV_MOD_64QAM")),
+        "dtv_catv_frame_sync_enc_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
+        ).CatvFrameSyncEnc(p.get("constellation", "CATV_MOD_64QAM"),
+                           int(p.get("ctrlword", 0) or 0)),
+        "dtv_catv_trellis_enc_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
+        ).CatvTrellisEnc(p.get("constellation", "CATV_MOD_64QAM")),
+        "dtv_dvbs2_interleaver_bb": lambda p, ns: _T2B().Dvbs2InterleaverBB(
+            _dvbs2_cfg(p)),
+        "dtv_dvbs2_modulator_bc": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.dvbs2", fromlist=["x"]).dvbs2_modulator_bc(
+            constellation=_enum_constellation(p.get("constellation")),
+            rate=_dvbs2_rate(p)),
+        "dtv_dvbs2_physical_cc": lambda p, ns: _T2B().Dvbs2PhysicalCC(
+            _dvbs2_cfg(p), goldcode=int(p.get("goldcode", 0) or 0)),
         "digital_ofdm_cyclic_prefixer": ofdm_cyclic_prefixer,
         "blocks_abs_xx": lambda p, ns: BL.abs_blk(_dtype_of(p)),
         "channels_channel_model": channel_model,

@@ -523,30 +523,35 @@ def patterned_interleaver(pattern, dtype=C):
 # ---------------------------------------------------------------------------
 
 class PackedToUnpacked(Block):
-    """Split each byte into 8/bits_per_chunk chunks, MSB first
-    (gr::blocks::packed_to_unpacked_bb with GR_MSB_FIRST)."""
+    """Split the byte stream into bits_per_chunk-bit chunks, MSB first
+    (gr::blocks::packed_to_unpacked_bb with GR_MSB_FIRST). Non-divisor
+    chunk sizes (e.g. 6 bits for 64QAM) tick at lcm(8, bpc) bits so the
+    bit stream crosses byte boundaries exactly like the reference."""
 
     def __init__(self, bits_per_chunk: int = 1, name=None):
         super().__init__(name)
+        import math
         self.bpc = int(bits_per_chunk)
-        assert 8 % self.bpc == 0
+        lcm = math.lcm(8, self.bpc)
+        self._in_bytes = lcm // 8
+        self._out_chunks = lcm // self.bpc
         self.in_ports = (PortSpec(B),)
         self.out_ports = (PortSpec(B),)
 
     @property
     def in_rates(self):
-        return (Fraction(1),)
+        return (Fraction(self._in_bytes),)
 
     @property
     def out_rates(self):
-        return (Fraction(8 // self.bpc),)
+        return (Fraction(self._out_chunks),)
 
     def apply(self, state, inputs, n_in):
         x = inputs[0].astype(jnp.int32) & 0xFF
-        k = 8 // self.bpc
-        shifts = jnp.arange(k - 1, -1, -1) * self.bpc
-        mask = (1 << self.bpc) - 1
-        out = ((x[:, None] >> shifts) & mask).reshape(-1)
+        bits = ((x[:, None] >> jnp.arange(7, -1, -1)) & 1).reshape(-1)
+        g = bits.reshape(-1, self.bpc)
+        w = jnp.asarray(1 << np.arange(self.bpc - 1, -1, -1), jnp.int32)
+        out = (g * w).sum(axis=1)
         return state, (out.astype(jnp.int8),)
 
 
@@ -557,25 +562,30 @@ def packed_to_unpacked_bb(bits_per_chunk=1):
 class UnpackedToPacked(Block):
     def __init__(self, bits_per_chunk: int = 1, name=None):
         super().__init__(name)
+        import math
         self.bpc = int(bits_per_chunk)
-        assert 8 % self.bpc == 0
+        lcm = math.lcm(8, self.bpc)
+        self._in_chunks = lcm // self.bpc
+        self._out_bytes = lcm // 8
         self.in_ports = (PortSpec(B),)
         self.out_ports = (PortSpec(B),)
 
     @property
     def in_rates(self):
-        return (Fraction(8 // self.bpc),)
+        return (Fraction(self._in_chunks),)
 
     @property
     def out_rates(self):
-        return (Fraction(1),)
+        return (Fraction(self._out_bytes),)
 
     def apply(self, state, inputs, n_in):
-        k = 8 // self.bpc
-        x = inputs[0].astype(jnp.int32).reshape(-1, k)
-        shifts = jnp.arange(k - 1, -1, -1) * self.bpc
+        x = inputs[0].astype(jnp.int32)
         mask = (1 << self.bpc) - 1
-        out = jnp.sum((x & mask) << shifts, axis=1)
+        bits = (((x & mask)[:, None]
+                 >> jnp.arange(self.bpc - 1, -1, -1)) & 1).reshape(-1)
+        g = bits.reshape(-1, 8)
+        w = jnp.asarray(1 << np.arange(7, -1, -1), jnp.int32)
+        out = (g * w).sum(axis=1)
         return state, (out.astype(jnp.int8),)
 
 

@@ -327,6 +327,90 @@ def trellis_encode_64qam(bits, state=None):
     return q.reshape(-1), state
 
 
+FRAME_SYMS_256QAM = 88 * 128
+_SYNC_256QAM = (0x71, 0xE8, 0x4D, 0xD4)
+
+
+def trellis_encode_256qam(bits, state=None):
+    """[n*228] bits -> [n*30] eight-bit QAM symbols + carried state.
+
+    Per catv_trellis_enc_bb_impl.cc trellis_code_256qam: 6 sub-groups of
+    38 bits; uncoded bits land at QAM bit positions {5,6,7} (X) and
+    {1,2,3} (Y), the coded pair at bits {4,1<<1? -> positions 4 and 0}:
+    trellis_x<<1 | trellis_y, i.e. bits 4 and 0. A 2076-period group
+    counter swaps in the packed layout for groups 2071-2075 (the frame
+    straddling the 40-bit sync word). state = (XYp, Xq, Yq, group).
+    """
+    if state is None:
+        state = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    ptab = jnp.asarray(_precoder_table())
+    ns, outs = _trellis_tables()
+    ns, outs = jnp.asarray(ns), jnp.asarray(outs)
+    g = bits.reshape(-1, 228).astype(jnp.int32)
+
+    def subgroup_normal(rs, i):
+        base = i * 38
+        qs = jnp.zeros(5, jnp.int32)
+        for j in range(5):
+            o = base + 2 + 8 * j if j < 4 else base + 32
+            # rows: qs[j] bits A<<5,6,7 / B<<1,2,3
+            qs = qs.at[j].add((rs[o] << 5) + (rs[o + 1] << 6)
+                              + (rs[o + 2] << 7) + (rs[o + 3] << 1)
+                              + (rs[o + 4] << 2) + (rs[o + 5] << 3))
+        A = (rs[base + 24] << 3) | (rs[base + 16] << 2) \
+            | (rs[base + 8] << 1) | rs[base + 0]
+        B = (rs[base + 25] << 3) | (rs[base + 17] << 2) \
+            | (rs[base + 9] << 1) | rs[base + 1]
+        return qs, A, B
+
+    def subgroup_special(rs, m):
+        base = 38 + 30 * (m - 1)
+        qs = jnp.zeros(5, jnp.int32)
+        for j in range(5):
+            o = base + 6 * j
+            qs = qs.at[j].add((rs[o] << 5) + (rs[o + 1] << 6)
+                              + (rs[o + 2] << 7) + (rs[o + 3] << 1)
+                              + (rs[o + 4] << 2) + (rs[o + 5] << 3))
+        b = 188 + 8 * (m - 1)
+        A = (rs[b + 6] << 3) | (rs[b + 4] << 2) | (rs[b + 2] << 1) | rs[b]
+        B = (rs[b + 7] << 3) | (rs[b + 5] << 2) | (rs[b + 3] << 1) \
+            | rs[b + 1]
+        return qs, A, B
+
+    def run6(rs, carry, special):
+        xyp, xq, yq = carry
+        out = []
+        for i in range(6):
+            if special and i > 0:
+                qs, A, B = subgroup_special(rs, i)
+            else:
+                qs, A, B = subgroup_normal(rs, i)
+            entry = ptab[xyp, A, B]
+            X, Y = entry[1], entry[2]
+            xyp = entry[0]
+            # reference: trellis_table_x (coded bit already <<3) shifted
+            # <<1 more for 256QAM -> X parity at bit 4, Y parity at bit 0
+            qs = qs + (outs[xq, X] << 4) + outs[yq, Y]
+            xq, yq = ns[xq, X], ns[yq, Y]
+            out.append(qs)
+        return jnp.concatenate(out), (xyp, xq, yq)
+
+    def step(carry, rs):
+        xyp, xq, yq, grp = carry
+        qn, cn = run6(rs, (xyp, xq, yq), False)
+        qsp, csp = run6(rs, (xyp, xq, yq), True)
+        is_special = grp == 2070
+        q = jnp.where(is_special, qsp, qn)
+        xyp = jnp.where(is_special, csp[0], cn[0])
+        xq = jnp.where(is_special, csp[1], cn[1])
+        yq = jnp.where(is_special, csp[2], cn[2])
+        grp = (grp + 6) % 2076
+        return (xyp, xq, yq, grp), q
+
+    state, q = jax.lax.scan(step, state, g)
+    return q.reshape(-1), state
+
+
 def qam64_map(symbols):
     """Six-bit symbols -> 64QAM points (dvbs2_modulator MOD_64QAM grid is
     used by the reference TX example; x = bits[5:3], y = bits[2:0])."""

@@ -460,6 +460,13 @@ def constellation(kind: str, rate: str = "") -> np.ndarray:
         pts[27] = out(-3 / 8); pts[28] = out(7 / 8); pts[29] = out(5 / 8)
         pts[30] = out(1); pts[31] = out(-3 / 4)
         return pts.astype(np.complex64)
+    if kind in ("64qam", "256qam"):
+        # J.83B square-QAM grids served by the reference dvbs2_modulator
+        # for the CATV TX examples (dvbs2_modulator_bc_impl.cc:2328+,
+        # unnormalized integer grid as in the reference)
+        from .dvbs2_qam_tables import QAM64, QAM256
+        tab = QAM64 if kind == "64qam" else QAM256
+        return np.array([complex(r, i) for r, i in tab], np.complex64)
     raise ValueError(kind)
 
 

@@ -994,6 +994,61 @@ def papr_tr(time_syms, p: T2Params):
 
 
 # ---------------------------------------------------------------------------
+# cell + time interleaver as one permutation
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=16)
+def cell_time_perm(framesize: str, constellation: str, fecblocks: int,
+                   tiblocks: int) -> np.ndarray:
+    """src[fecblocks*cell_size]: out[k] = in[src[k]] for the combined
+    pseudo-random cell interleave (per-FEC-block bit-reversed shift,
+    counter resetting per TI block) + column/row time interleave
+    (dvbt2_cellinterleaver_cc_impl.cc work() :194-260)."""
+    from .dvbt2 import _cell_perm, _CI_PARAMS
+    cs = CELL_SIZE[(framesize, constellation)]
+    deg = _CI_PARAMS[(framesize, constellation)][1]
+    perm = _cell_perm(framesize, constellation)
+    if tiblocks == 0:
+        blocks = [1] * fecblocks
+    else:
+        nbig = fecblocks % tiblocks
+        small = tiblocks - nbig
+        fs = fecblocks // tiblocks
+        fb = -(-fecblocks // tiblocks)
+        blocks = [fs] * small + [fb] * nbig
+    dest = np.zeros(fecblocks * cs, np.int64)
+    inpos = idx = 0
+    for fpt in blocks:
+        n = 0
+        for r in range(fpt):
+            shift = cs
+            while shift >= cs:
+                t, shift = n, 0
+                for _ in range(deg):
+                    shift |= t & 1
+                    shift <<= 1
+                    t >>= 1
+                n += 1
+            dest[inpos + np.arange(cs)] = ((perm + shift) % cs) + idx
+            inpos += cs
+            idx += cs
+    inv_dest = np.argsort(dest)
+    if tiblocks == 0:
+        return inv_dest.astype(np.int32)
+    src2 = np.zeros(fecblocks * cs, np.int64)
+    out = ti_index = 0
+    rows = cs // 5
+    for fpt in blocks:
+        ncols = 5 * fpt
+        k, w = np.meshgrid(np.arange(rows), np.arange(ncols), indexing="ij")
+        src2[out + (k * ncols + w).ravel()] = \
+            ti_index + rows * w.ravel() + k.ravel()
+        out += rows * ncols
+        ti_index += rows * ncols
+    return inv_dest[src2].astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # end-to-end modulation
 # ---------------------------------------------------------------------------
 

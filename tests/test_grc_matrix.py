@@ -63,9 +63,42 @@ EXAMPLES = [
     "gr-digital/examples/packet/tx_stage5.grc",
     "gr-digital/examples/packet/tx_stage6.grc",
     "gr-digital/examples/packet/tx_stage6a.grc",
+    "gr-dtv/examples/catv_tx_64qam.grc",
+    "gr-dtv/examples/catv_tx_256qam.grc",
+    "gr-dtv/examples/dvbs2_tx.grc",
     "gr-dtv/examples/dvbs_tx.grc",
     "gr-dtv/examples/dvbt_tx_2k.grc",
     "gr-dtv/examples/dvbt_tx_8k.grc",
+    "gr-dtv/examples/germany-g1.grc",
+    "gr-dtv/examples/germany-g2.grc",
+    "gr-dtv/examples/germany-g3.grc",
+    "gr-dtv/examples/germany-g4.grc",
+    "gr-dtv/examples/germany-g5.grc",
+    "gr-dtv/examples/germany-g6.grc",
+    "gr-dtv/examples/germany-g7.grc",
+    "gr-dtv/examples/germany-g8.grc",
+    "gr-dtv/examples/germany-g9.grc",
+    "gr-dtv/examples/germany-g10.grc",
+    "gr-dtv/examples/vv001-cr35.grc",
+    "gr-dtv/examples/vv003-cr23.grc",
+    "gr-dtv/examples/vv004-8kfft.grc",
+    "gr-dtv/examples/vv005-8kfft.grc",
+    "gr-dtv/examples/vv007-16kfft.grc",
+    "gr-dtv/examples/vv008-16kfft.grc",
+    "gr-dtv/examples/vv009-4kfft.grc",
+    "gr-dtv/examples/vv010-2kfft.grc",
+    "gr-dtv/examples/vv011-1kfft.grc",
+    "gr-dtv/examples/vv012-64qam45.grc",
+    "gr-dtv/examples/vv013-64qam56.grc",
+    "gr-dtv/examples/vv014-64qam34.grc",
+    "gr-dtv/examples/vv015-8kfft.grc",
+    "gr-dtv/examples/vv016-256qam34.grc",
+    "gr-dtv/examples/vv017-paprtr.grc",
+    "gr-dtv/examples/vv018-miso.grc",
+    "gr-dtv/examples/vv019-norot.grc",
+    "gr-dtv/examples/vv034-dtg016.grc",
+    "gr-dtv/examples/vv035-dtg052.grc",
+    "gr-dtv/examples/vv036-dtg091.grc",
     "gr-dtv/examples/file_atsc_tx.grc",
     "gr-dtv/examples/uhd_atsc_capture.grc",
     "gr-dtv/examples/uhd_atsc_tx.grc",
