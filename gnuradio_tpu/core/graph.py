@@ -77,8 +77,18 @@ class Flowgraph:
             raise ValueError(f"{db} has no input port {dp}")
         sspec, dspec = sb.out_ports[sp], db.in_ports[dp]
         if (sspec.dtype != dspec.dtype) or (sspec.vlen != dspec.vlen):
-            raise ValueError(
-                f"type mismatch connecting {sb}:{sp} ({sspec}) -> {db}:{dp} ({dspec})")
+            # headless GUI stand-ins absorb anything: adopt the upstream
+            # spec instead of failing (the reference GUI sinks are
+            # similarly dtype-polymorphic via their 'type' option)
+            if getattr(db, "accept_any_stream", False):
+                ports = list(db.in_ports)
+                ports[dp] = sspec
+                db.in_ports = tuple(ports)
+                dspec = sspec
+            else:
+                raise ValueError(
+                    f"type mismatch connecting {sb}:{sp} ({sspec}) -> "
+                    f"{db}:{dp} ({dspec})")
         for e in self.edges:
             if e.dst == dst:
                 raise ValueError(f"input {db}:{dp} already connected")

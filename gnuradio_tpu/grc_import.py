@@ -21,6 +21,7 @@ Use `load_reference_grc(path)` -> (TopBlock, {name: Block}); pass
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -237,6 +238,12 @@ def _base_namespace():
     from .ops import firdes as _firdes
     from .ops import analog as _analog
     from .ops import fft as _fft
+    codec2_shim = _ShimNS(
+        # vocoder/codec2.h enum -> our integer mode ids (700B/700C share
+        # the 700 rate contract: 28 bits / 320 samples)
+        MODE_3200=3200, MODE_2400=2400, MODE_1600=1600, MODE_1400=1400,
+        MODE_1300=1300, MODE_1200=1200, MODE_700=700, MODE_700B=700,
+        MODE_700C=700)
     analog_shim = _ShimNS(
         GR_COS_WAVE=_analog.GR_COS_WAVE, GR_SIN_WAVE=_analog.GR_SIN_WAVE,
         GR_TRI_WAVE=_analog.GR_TRI_WAVE, GR_SAW_WAVE=_analog.GR_SAW_WAVE,
@@ -263,10 +270,21 @@ def _base_namespace():
     filter_shim = _ShimNS(firdes=firdes_shim)
     fft_shim = _ShimNS(window=window_shim)
     from .ops import fec as _fec
+    from .ops import fec_api as _fapi
     fec_shim = _ShimNS(CC_STREAMING=_fec.CC_STREAMING,
                        CC_TERMINATED=_fec.CC_TERMINATED,
                        CC_TAILBITING=_fec.CC_TAILBITING,
-                       CC_TRUNCATED=_fec.CC_TRUNCATED)
+                       CC_TRUNCATED=_fec.CC_TRUNCATED,
+                       # fec.dummy_encoder.make(bits) expressions in
+                       # packet hier parameters
+                       dummy_encoder=_ShimNS(
+                           make=lambda n=8000: _fapi.DummyCode(int(n))),
+                       dummy_decoder=_ShimNS(
+                           make=lambda n=8000: _fapi.DummyCode(int(n))),
+                       dummy_encoder_make=lambda n=8000:
+                           _fapi.DummyCode(int(n)),
+                       dummy_decoder_make=lambda n=8000:
+                           _fapi.DummyCode(int(n)))
     # `digital.` expressions in GRC params (constellation construction)
     from .ops import digital as _dig
 
@@ -307,6 +325,19 @@ def _base_namespace():
         qam_16=_qam_pair(16), qam_64=_qam_pair(64),
         THRESHOLD_ABSOLUTE=0, THRESHOLD_DYNAMIC=1,
         evm_measurement_t_EVM_PERCENT=0, evm_measurement_t_EVM_DB=1,
+        # symbol_sync TED / interpolating-resampler enums
+        # (gr-digital timing_error_detector_type.h:19-29,
+        # interpolating_resampler_type.h:19-22)
+        TED_GARDNER="gardner", TED_ZERO_CROSSING="zero_crossing",
+        TED_MUELLER_AND_MULLER="mueller_and_muller",
+        TED_MOD_MUELLER_AND_MULLER="mod_mueller_and_muller",
+        TED_EARLY_LATE="early_late",
+        TED_SIGNAL_TIMES_SLOPE_ML="signal_times_slope_ml",
+        TED_SIGNUM_TIMES_SLOPE_ML="signum_times_slope_ml",
+        TED_DANDREA_AND_MENGALI_GEN_MSK="dandrea_and_mengali_gen_msk",
+        TED_MENGALI_AND_DANDREA_GMSK="mengali_and_dandrea_gmsk",
+        IR_MMSE_8TAP="mmse_8tap", IR_PFB_NO_MF="pfb_no_mf",
+        IR_PFB_MF="pfb_mf",
         packet_utils=_ShimNS(
             default_access_code=format(0xACDDA4E2F28C20FC, "064b"),
             default_preamble=format(0xA4F2, "016b") * 4),
@@ -356,6 +387,7 @@ def _base_namespace():
         "math": math, "np": np, "numpy": np,
         "firdes": firdes_shim, "analog": analog_shim,
         "filter": filter_shim, "fft": fft_shim, "window": window_shim,
+        "codec2": codec2_shim,
         "True": True, "False": False, "None": None,
         # safe builtins GRC param expressions rely on
         "int": int, "float": float, "complex": complex, "bool": bool,
@@ -476,11 +508,35 @@ def _ldpc_as_H(m) -> np.ndarray:
     return np.concatenate([P.T, np.eye(n - k, dtype=np.int8)], axis=1)
 
 
+class _DecoderRateView:
+    """Decoder-side view of a code kernel: GRC expressions call
+    decoder.rate() expecting k/n (repetition_decoder_impl.cc:83 etc.),
+    while encoder rate() is n/k — wrap decoder-def results so both
+    conventions hold on the same underlying code object."""
+
+    def __init__(self, code):
+        self._code = code
+
+    def __getattr__(self, a):
+        return getattr(self._code, a)
+
+    def rate(self) -> float:
+        return self._code.k_bits / self._code.n_bits
+
+
 def _vardef_value(btype: str, p: dict, ns: dict):
     """Object denoted by a variable_*_def / taps / constellation descriptor
     (the GRC yml templates call the reference's make functions; here the
     equivalent framework object is built directly). Raises KeyError for
-    unknown ids."""
+    unknown ids. Decoder defs are wrapped in _DecoderRateView so their
+    rate() follows the reference decoder convention (k/n)."""
+    v = _vardef_value_raw(btype, p, ns)
+    if "decoder" in btype and hasattr(v, "k_bits"):
+        return _DecoderRateView(v)
+    return v
+
+
+def _vardef_value_raw(btype: str, p: dict, ns: dict):
     from .ops import fec_api as FA
     fs = int(p.get("framebits", p.get("frame_size", 0)) or 0)
     if btype in ("variable_cc_encoder_def", "variable_cc_decoder_def"):
@@ -597,7 +653,29 @@ def _vardef_value(btype: str, p: dict, ns: dict):
                                      float(p.get("excess_bw", 0.35) or 0.35),
                                      int(p.get("ntaps", 45) or 45))
     if btype == "variable_file_filter_taps":
-        return np.fromfile(str(p.get("file")), np.float32)
+        import os
+        path = str(p.get("file", ""))
+        if not os.path.exists(path):
+            # install-prefix expressions (subprocess.getoutput(...)) don't
+            # evaluate headless; fall back to the in-tree example taps
+            cand = os.path.join("/root/reference/gr-filter/examples",
+                                os.path.basename(path) or
+                                "filter_taps_example_complex_bandpass_taps")
+            if not os.path.exists(cand):
+                cand = ("/root/reference/gr-filter/examples/"
+                        "filter_taps_example_complex_bandpass_taps")
+            path = cand
+        # gr_filter_design save format: csv key,value lines; 'taps' row
+        # holds the (re+imj) tuples (file_taps_loader.py parsing)
+        taps = None
+        for line in open(path):
+            if line.startswith("taps,"):
+                vals = line.strip().split(",")[1:]
+                taps = np.array([complex(v.strip("()")) for v in vals],
+                                np.complex64)
+        if taps is None:
+            taps = np.fromfile(path, np.float32)
+        return taps
     if btype == "variable_tag_object":
         from ..core.tags import Tag
         return Tag(int(p.get("offset", 0) or 0), str(p.get("key", "key")),
@@ -968,17 +1046,20 @@ def _adapters():
 
     def symbol_sync(p, ns):
         from .ops import symbol_sync as SS
-        from .ops.stream_compat import _noop  # noqa: F401  (namespacing)
         const = p.get("constellation")
         slicer = None
         if const is not None and not isinstance(const, str):
             pts = np.asarray(getattr(const, "points", const),
                              np.complex64).reshape(-1)
 
-            def slicer(z, _pts=jnp_pts_holder(pts)):
+            def slicer(z, _pts=pts):
                 import jax.numpy as jnp
-                d = jnp.abs(z - _pts()) ** 2
-                return _pts()[jnp.argmin(d)]
+                p = jnp.asarray(_pts)
+                d = jnp.abs(z - p) ** 2
+                r = p[jnp.argmin(d)]
+                if jnp.iscomplexobj(z):
+                    return r
+                return jnp.real(r).astype(z.dtype)   # PAM float path
         t = str(p.get("type", "cc"))
         from .ops.symbol_sync import SymbolSync
         mf = p.get("pfb_mf_taps")
@@ -1092,6 +1173,43 @@ def _adapters():
             _t2_frame_params(p)),
         "dtv_dvbt2_miso_cc": lambda p, ns: _T2B().Dvbt2Miso(
             _t2_frame_params(p, force_miso=True)),
+        # legacy-XML graphs sometimes carry a map_bb with the table param
+        # stripped — identity map keeps the chain runnable
+        "digital_map_bb": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.digital", fromlist=["x"]).map_bb(
+            p.get("map", p.get("table")) if p.get("map", p.get("table"))
+            is not None else list(range(256))),
+        "digital_header_payload_demux": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_streaming", fromlist=["x"]
+        ).header_payload_demux(
+            region_len=512,
+            header_len=max(1, int(p.get("header_len", 32) or 32)),
+            payload_max=512),
+        # pads in a DIRECTLY-run hier-defining .grc: stream pads become
+        # null endpoints (when instantiated as a hier block the loader
+        # inlines the file and splices pads instead — _inline_hier_blocks)
+        "pad_source": lambda p, ns: (
+            __import__("gnuradio_tpu.ops.blocks_extra3", fromlist=["x"])
+            .PadMsgSource()
+            if str(p.get("type", "complex")) == "message"
+            else __import__("gnuradio_tpu.ops.blocks", fromlist=["x"])
+            .null_source(_dtype_of(p), int(p.get("vlen", 1) or 1))),
+        "pad_sink": lambda p, ns: (
+            None if str(p.get("type", "complex")) == "message"
+            else _null_sink_for(p)),
+        # ctrlport GUI monitors observe, never process — headless no-op
+        "blocks_ctrlport_monitor": lambda p, ns: None,
+        "blocks_ctrlport_monitor_performance": lambda p, ns: None,
+        "blocks_test_tag_variable_rate_ff": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.blocks_extra3", fromlist=["x"]
+        ).test_tag_variable_rate_ff(
+            bool(p.get("update_once", False)),
+            float(p.get("update_step", 0.001) or 0.001)),
+        "ival_decimator": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.filter_extra", fromlist=["x"]).ival_decimator(
+            int(p.get("decimation", 1) or 1),
+            {"byte": np.int8, "short": np.int16}.get(
+                str(p.get("datatype", "short")), np.int16)),
         "dtv_catv_transport_framing_enc_bb": lambda p, ns: __import__(
             "gnuradio_tpu.ops.catv_blocks", fromlist=["x"]
         ).CatvTransportFraming(),
@@ -1635,6 +1753,167 @@ def _resolve_ts_blocks(deferred: dict, blocks: dict, conns) -> None:
             resolve(name)
 
 
+def _load_grc_doc(path: str) -> dict:
+    import yaml
+    text = open(path).read()
+    if text.lstrip().startswith("<?xml"):
+        return convert_legacy_xml(text)
+    return yaml.safe_load(text)
+
+
+def _inline_hier_blocks(doc: dict, base_dir: str, depth: int = 0) -> dict:
+    """Inline GRC-defined hier blocks (block id X with a sibling X.grc):
+    sub-blocks get instance-prefixed names, sub variables/parameters are
+    renamed AND every sub param expression is rewritten to the renamed
+    symbols, 'parameter' values are overridden by the instantiating
+    expressions, and pad_source/pad_sink edges splice straight through
+    (grc/core/platform.py hier handling; message pads address by label,
+    stream pads by accumulated index sorted by pad coordinate)."""
+    import os
+    import re
+    if depth > 4:
+        return doc
+    blocks = [b for b in doc.get("blocks", []) if isinstance(b, dict)]
+    conns = [list(c) for c in doc.get("connections", [])]
+    changed = False
+    out_blocks = []
+    for b in blocks:
+        bid, bname = b.get("id"), b.get("name")
+        sub_path = os.path.join(base_dir, f"{bid}.grc")
+        if bid in ("virtual_sink", "virtual_source") \
+                or not os.path.exists(sub_path):
+            out_blocks.append(b)
+            continue
+        changed = True
+        inst_params = {k: v for k, v in (b.get("parameters") or {}).items()
+                       if k not in ("affinity", "alias", "comment",
+                                    "maxoutbuf", "minoutbuf")}
+        sub = _inline_hier_blocks(_load_grc_doc(sub_path), base_dir,
+                                  depth + 1)
+        pfx = f"{bname}__"
+        sub_blocks = [sb for sb in sub.get("blocks", [])
+                      if isinstance(sb, dict) and sb.get("id") != "options"]
+        sub_conns = [list(c) for c in sub.get("connections", [])]
+        # symbols to rewrite inside sub expressions
+        sym_names = [sb["name"] for sb in sub_blocks
+                     if sb.get("id", "").startswith("variable")
+                     or sb.get("id") in ("parameter", "epy_module")]
+        sym_re = (re.compile(r"\b(" + "|".join(
+            re.escape(n) for n in sorted(sym_names, key=len,
+                                         reverse=True)) + r")\b")
+            if sym_names else None)
+
+        def rw(expr):
+            if sym_re is None or not isinstance(expr, str):
+                return expr
+            return sym_re.sub(lambda mm: pfx + mm.group(1), expr)
+
+        pads_in, pads_out = [], []     # (name, params, coord)
+        new_sub_blocks = []
+        for sb in sub_blocks:
+            sp = dict(sb.get("parameters") or {})
+            if sb.get("id") in ("pad_source", "pad_sink"):
+                coord = (sb.get("states") or {}).get("coordinate",
+                                                     [0, 0]) or [0, 0]
+                (pads_in if sb["id"] == "pad_source"
+                 else pads_out).append((sb["name"], sp,
+                                        (coord[1], coord[0])))
+                continue
+            if sb.get("id") == "parameter" and sb["name"] in inst_params:
+                sp["value"] = str(inst_params[sb["name"]])  # outer expr
+            else:
+                sp = {k: rw(v) for k, v in sp.items()}
+            if "stream_id" in sp:       # virtual links stay instance-local
+                sp["stream_id"] = pfx + str(sp["stream_id"])
+            nb = dict(sb)
+            nb["name"] = pfx + sb["name"]
+            nb["parameters"] = sp
+            new_sub_blocks.append(nb)
+        # pad ordering: stream pads take accumulated indices sorted by
+        # coordinate; message pads are addressed by their label
+        def classify(pads):
+            stream, msg = [], {}
+            for name, sp, coord in sorted(pads, key=lambda t: t[2]):
+                if str(sp.get("type", "complex")) == "message":
+                    msg[str(sp.get("label", name))] = name
+                else:
+                    for k in range(int(sp.get("num_streams", 1) or 1)):
+                        stream.append((name, str(k)))
+            return stream, msg
+        s_in, m_in = classify(pads_in)
+        s_out, m_out = classify(pads_out)
+        pad_in_names = {n for n, _, _ in pads_in}
+        pad_out_names = {n for n, _, _ in pads_out}
+        # sub edges from/to pads, keyed (pad_name, port)
+        from_pad = {}
+        to_pad = {}
+        inner_conns = []
+        for s, spo, d, dpo in sub_conns:
+            if s in pad_in_names:
+                from_pad.setdefault((s, str(spo)), []).append(
+                    (pfx + d, dpo))
+            elif d in pad_out_names:
+                to_pad.setdefault((d, str(dpo)), []).append((pfx + s, spo))
+            else:
+                inner_conns.append([pfx + s, spo, pfx + d, dpo])
+
+        def resolve_in(port):
+            """Main-edge dst port on the hier -> list of internal dsts."""
+            try:
+                pad = s_in[int(port)]
+            except (ValueError, IndexError):
+                nm = m_in.get(str(port))
+                pad = (nm, "out") if nm else None
+            return from_pad.get(pad, []) if pad else []
+
+        def resolve_out(port):
+            try:
+                pad = s_out[int(port)]
+            except (ValueError, IndexError):
+                nm = m_out.get(str(port))
+                pad = (nm, "in") if nm else None
+            return to_pad.get(pad, []) if pad else []
+
+        new_conns = []
+        fed_in_ports = set()
+        for c in conns:
+            s, spo, d, dpo = c
+            if d == bname and s == bname:
+                continue
+            if d == bname:
+                fed_in_ports.add(str(dpo))
+                for (ib, ip) in resolve_in(dpo):
+                    new_conns.append([s, spo, ib, ip])
+                continue
+            if s == bname:
+                for (ib, ip) in resolve_out(spo):
+                    new_conns.append([ib, ip, d, dpo])
+                continue
+            new_conns.append(c)
+        # unconnected stream input pads: feed zeros so the sub graph
+        # still validates (optional pads in the reference)
+        for idx, pad in enumerate(s_in):
+            if str(idx) in fed_in_ports:
+                continue
+            dtype = "complex"
+            for name, sp, _ in pads_in:
+                if name == pad[0]:
+                    dtype = str(sp.get("type", "complex"))
+            zname = f"{pfx}nullsrc_{idx}"
+            new_sub_blocks.append({"name": zname, "id": "blocks_null_source",
+                                   "parameters": {"type": dtype}})
+            for (ib, ip) in from_pad.get(pad, []):
+                new_conns.append([zname, "0", ib, ip])
+        conns = new_conns + inner_conns
+        out_blocks.extend(new_sub_blocks)
+    if not changed:
+        return doc
+    doc = dict(doc)
+    doc["blocks"] = out_blocks
+    doc["connections"] = conns
+    return doc
+
+
 def load_reference_grc(path_or_text, overrides: dict | None = None,
                        extra_adapters: dict | None = None):
     """Parse a reference-format .grc file; returns (TopBlock, {name: Block}).
@@ -1655,6 +1934,14 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
     adapters = _adapters()
     if extra_adapters:
         adapters.update(extra_adapters)
+
+    # hier .grc blocks: a block id X with a sibling X.grc is a
+    # GRC-defined hier block (grc/core/platform.py hier handling) —
+    # inline its sub-graph at the document level, splicing pads
+    base_dir = (os.path.dirname(os.path.abspath(path_or_text))
+                if "\n" not in path_or_text else "")
+    if base_dir:
+        doc = _inline_hier_blocks(doc, base_dir)
 
     # virtual_sink/virtual_source: GRC wiring aliases — edges into a
     # virtual_sink(stream_id) reconnect to every consumer of the matching
@@ -1747,9 +2034,10 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
                 try:
                     pe = {k: _eval(v, ns) for k, v in p.items()}
                     ns[bid] = _vardef_value(bt, pe, ns)
-                except KeyError:
-                    ns[bid] = None
                 except Exception:
+                    # KeyError is retryable too — a dependency may still
+                    # be unresolved this pass (inlined hier graphs chain
+                    # vardefs through parameters several levels deep)
                     nxt.append((bid, (bt, p)))
                 continue
             v = _eval(p.get("value"), ns)
@@ -1761,7 +2049,11 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
         if not nxt or len(nxt) == len(pending):
             for bid, (bt, p) in nxt:        # give up: raw strings stand
                 if bt in VARDEF_IDS:
-                    ns[bid] = None
+                    try:
+                        pe = {k: _eval(v, ns) for k, v in p.items()}
+                        ns[bid] = _vardef_value(bt, pe, ns)
+                    except Exception:
+                        ns[bid] = None
                 else:
                     ns[bid] = _eval(p.get("value"), ns)
             break
@@ -1822,7 +2114,12 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
         except ValueError:
             # non-numeric port names are MESSAGE ports ('strobe',
             # 'generate', 'pdus', ... — grc msg connections use names)
-            fg.msg_connect(blocks[s], str(sp), blocks[d], str(dp))
+            try:
+                fg.msg_connect(blocks[s], str(sp), blocks[d], str(dp))
+            except ValueError:
+                # GUI-interaction msg ports the headless analog doesn't
+                # expose (qtgui vector 'xval' etc.) — unobserved headless
+                pass
             continue
         # diagnostic output ports the framework block doesn't expose (e.g.
         # the reference pfb_clock_sync's err/rate/phase debug outputs) —
@@ -1892,6 +2189,16 @@ def load_reference_grc(path_or_text, overrides: dict | None = None,
                     zsrc.name = f"_zfeed_{b.name}_{q}"
                     blocks[zsrc.name] = zsrc
                     fg.connect((zsrc, 0), (b, q))
+        # blocks with OPTIONAL inputs (io_signature min < max, e.g.
+        # float_to_complex's imag port) get zeros on unconnected ports
+        for q in getattr(b, "optional_inputs", ()):
+            fed = {e.dst.port for e in fg.in_edges(b)}
+            if q not in fed and q < b.nin:
+                spec = b.in_ports[q]
+                zsrc = _NullSource(spec)
+                zsrc.name = f"_zopt_{b.name}_{q}"
+                blocks[zsrc.name] = zsrc
+                fg.connect((zsrc, 0), (b, q))
     return TopBlock(fg), blocks
 
 
@@ -1908,12 +2215,29 @@ def convert_legacy_xml(xml_text: str) -> dict:
     adapters."""
     import xml.etree.ElementTree as ET
     root = ET.fromstring(xml_text)
-    blocks = []
+    raw = []
     for b in root.findall("block"):
         key = b.findtext("key")
         params = {}
         for p in b.findall("param"):
             params[p.findtext("key")] = p.findtext("value")
+        raw.append((key, params))
+    # some 3.7 exports split one logical block's params across two
+    # adjacent <block> elements with the same key, only one carrying the
+    # 'id' param — merge such pairs back into one block
+    merged = []
+    i = 0
+    while i < len(raw):
+        key, params = raw[i]
+        if (i + 1 < len(raw) and raw[i + 1][0] == key
+                and (("id" in params) != ("id" in raw[i + 1][1]))
+                and not (set(params) & set(raw[i + 1][1]))):
+            params = {**params, **raw[i + 1][1]}
+            i += 1
+        merged.append((key, params))
+        i += 1
+    blocks = []
+    for key, params in merged:
         name = params.pop("id", key)
         entry = {"name": name, "id": key, "parameters": params}
         if params.get("_enabled", "True") in ("0", "False"):

@@ -269,6 +269,7 @@ def vector_sink_s(vlen=1):
 
 class NullSink(SinkBlock):
     accept_any_msg = True       # headless GUI stand-in: absorb control msgs
+    accept_any_stream = True    # ...and adopt whatever dtype feeds it
 
     def __init__(self, in_port: PortSpec = PortSpec(C), name=None):
         super().__init__(in_port, name)
@@ -538,6 +539,7 @@ def float_to_complex(vlen=1):
     class F2C(Block):
         in_ports = (PortSpec(F, vlen), PortSpec(F, vlen))
         out_ports = (PortSpec(C, vlen),)
+        optional_inputs = (1,)   # imag port optional (io_signature 1,2)
 
         def apply(self, state, inputs, n_in):
             return state, ((inputs[0] + 1j * inputs[1]).astype(C),)

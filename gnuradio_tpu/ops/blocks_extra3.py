@@ -717,3 +717,66 @@ class MsgGain(Block):
 
 def msg_gain(gain=1.0, reference=1.0, rate=0.5, dtype=C):
     return MsgGain(gain, reference, rate, dtype)
+
+
+class TestTagVariableRate(Block):
+    """blocks_test_tag_variable_rate_ff
+    (gr-blocks/lib/test_tag_variable_rate_ff_impl.cc): the tag-rate
+    stress QA helper. Static-shape analog: the reference walks its
+    resampling rate stochastically around the nominal relative rate 1:2
+    (its set_relative_rate(1, 2)); here the nominal rate is fixed so the
+    graph stays compilable, and the same 'rrate' tags are minted every
+    update_period outputs — downstream tag-offset scaling across the
+    rate change is exercised deterministically."""
+
+    mints_tags = True
+
+    def __init__(self, update_once=False, update_step=0.001,
+                 update_period=256, name=None):
+        super().__init__(name)
+        self.update_step = float(update_step)
+        self.update_period = int(update_period)
+        self.in_ports = (PortSpec(F),)
+        self.out_ports = (PortSpec(F),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(2),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def apply(self, state, inputs, n_in):
+        return state, (inputs[0][::2],)
+
+    def transform_tags(self, tags_in, in_win, out_win):
+        from ..core.tags import Tag
+        w0, w1 = out_win
+        first = -(-w0 // self.update_period) * self.update_period
+        new = [Tag(off, "rrate", 0.5, self.name)
+               for off in range(first, w1, self.update_period)]
+        # input tags ride through at the halved offsets (TPP_DONT in the
+        # reference; here scaled like the executor's rational policy)
+        scaled = [Tag(t.offset // 2, t.key, t.value, t.srcid)
+                  for t in tags_in]
+        return scaled + new
+
+
+def test_tag_variable_rate_ff(update_once=False, update_step=0.001):
+    return TestTagVariableRate(update_once, update_step)
+
+
+class PadMsgSource(RandomPdu):
+    """Direct-run stand-in for a MESSAGE-typed pad_source in a
+    hier-defining .grc executed standalone: self-drives one fixed-size
+    random PDU per step on 'out' (subclassing RandomPdu keeps the
+    tagged-stream length walk's size pinning applicable)."""
+
+    def __init__(self, nbytes: int = 128, name=None):
+        super().__init__(nbytes, nbytes, name=name)
+        self.message_port_register_out("out")
+
+    def msg_work(self, step_index):
+        data = self.rng.integers(0, 256, self.hi).astype(np.uint8)
+        self.post("out", pmt.make_pdu({}, data))

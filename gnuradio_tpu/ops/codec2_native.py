@@ -15,6 +15,9 @@ round-trip spectral fidelity (tests/test_gsm_fr.py).
 Bit allocation (this implementation):
   mode 3200 (64 bits): pitch 7, energy 5, voicing 1, LSP 10 x 5, spare 1
   mode 2400 (48 bits): pitch 7, energy 5, voicing 1, LSP [4x5, 3x5], spare 0
+  low-rate modes (40 ms / 320-sample frames, codec2_impl.cc rate table):
+  1600: 64 bits, LSP [6,6,6,5,5,5,5,5,4,4]; 1400: 56; 1300: 52; 1200: 48;
+  700/700B/700C (all mode id 700): 28 bits, LSP [2,2,2,2,2,1,1,1,1,1]
 """
 from __future__ import annotations
 
@@ -27,12 +30,28 @@ _N = 160          # samples / 20 ms frame
 _ORDER = 10
 
 
+_MODE_BITS = {3200: 64, 2400: 48, 1600: 64, 1400: 56, 1300: 52,
+              1200: 48, 700: 28}
+
+_MODE_LSP_BITS = {
+    3200: [5] * 10,
+    2400: [4, 4, 4, 4, 3, 3, 3, 3, 3, 3],
+    1600: [6, 6, 6, 5, 5, 5, 5, 5, 4, 4],
+    1400: [5, 5, 5, 4, 4, 4, 4, 4, 4, 4],
+    1300: [4, 4, 4, 4, 4, 4, 4, 4, 4, 3],
+    1200: [4, 4, 4, 4, 4, 3, 3, 3, 3, 3],
+    700: [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+}
+
+
 def bits_per_frame(mode: int) -> int:
-    return {3200: 64, 2400: 48}[mode]
+    return _MODE_BITS[int(mode)]
 
 
 def samples_per_frame(mode: int) -> int:
-    return _N
+    """160 (20 ms) for 3200/2400; 320 (40 ms) for the low-rate modes —
+    the reference's set_output_multiple contract (codec2_impl.cc)."""
+    return _N if int(mode) >= 2400 else 2 * _N
 
 
 def _lpc(x, order=_ORDER):
@@ -120,12 +139,13 @@ class Codec2:
     frames (multiples of 160 samples / bits_per_frame bits)."""
 
     def __init__(self, mode: int = 3200):
-        if mode not in (3200, 2400):
-            raise ValueError("supported codec2 modes here: 3200, 2400")
+        mode = int(mode)
+        if mode not in _MODE_BITS:
+            raise ValueError(f"unsupported codec2 mode {mode}")
         self.mode = mode
         self.nbits = bits_per_frame(mode)
-        self._lsp_bits = ([5] * 10 if mode == 3200
-                          else [4, 4, 4, 4, 3, 3, 3, 3, 3, 3])
+        self.nsamp = samples_per_frame(mode)
+        self._lsp_bits = _MODE_LSP_BITS[mode]
         self._dec_phase = 0.0
         self._dec_lsp = np.linspace(0.3, np.pi - 0.3, _ORDER)
         self._dec_filter = np.zeros(_ORDER)
@@ -184,22 +204,22 @@ class Codec2:
             lsp[i] = max(lsp[i], lsp[i - 1] + 0.02)
         a = _lsp_to_lpc(lsp)
         # excitation: impulse train (voiced) or white noise (unvoiced)
-        exc = np.zeros(_N)
+        exc = np.zeros(self.nsamp)
         if voiced:
             ph = self._dec_phase
             w0 = 2 * np.pi / lag
-            for k in range(_N):
+            for k in range(self.nsamp):
                 ph += w0
                 if ph >= 2 * np.pi:
                     ph -= 2 * np.pi
                     exc[k] = math.sqrt(lag)
             self._dec_phase = ph
         else:
-            exc = self._rng.standard_normal(_N)
+            exc = self._rng.standard_normal(self.nsamp)
         # LPC synthesis filter 1/A(z)
-        out = np.zeros(_N)
+        out = np.zeros(self.nsamp)
         mem = self._dec_filter
-        for k in range(_N):
+        for k in range(self.nsamp):
             v = exc[k] - np.dot(a[1:], mem)
             out[k] = v
             mem = np.concatenate([[v], mem[:-1]])
@@ -211,10 +231,11 @@ class Codec2:
 
     def encode_bits(self, pcm: np.ndarray) -> np.ndarray:
         pcm = np.asarray(pcm)
-        assert len(pcm) % _N == 0
+        n = self.nsamp
+        assert len(pcm) % n == 0
         return np.concatenate(
-            [self.encode_frame_bits(pcm[i: i + _N])
-             for i in range(0, len(pcm), _N)])
+            [self.encode_frame_bits(pcm[i: i + n])
+             for i in range(0, len(pcm), n)])
 
     def decode_bits(self, bits: np.ndarray) -> np.ndarray:
         bits = np.asarray(bits)

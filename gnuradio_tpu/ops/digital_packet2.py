@@ -391,10 +391,12 @@ class HeaderFormatDefault:
 
 class HeaderFormatCounter(HeaderFormatDefault):
     """header_format_counter: default + 16-bit bps + 16-bit counter
-    (gr-digital/lib/header_format_counter.cc)."""
+    (gr-digital/lib/header_format_counter.cc; ctor signature
+    header_format_counter.h:53 (access_code, threshold, bps))."""
 
-    def __init__(self, bps: int = 1, **kw):
-        super().__init__(**kw)
+    def __init__(self, access_code=0xACDDA4E2F28C20FC, threshold: int = 0,
+                 bps: int = 1, **kw):
+        super().__init__(access_code=access_code, threshold=threshold, **kw)
         self.bps = int(bps)
         self.counter = 0
 
@@ -599,7 +601,7 @@ class ProtocolParserB(SinkBlock):
         return state, inputs[0]
 
     def collect(self, v):
-        self._bits.append(np.asarray(v, np.int64) & 1)
+        self._bits.append(np.atleast_1d(np.asarray(v, np.int64)) & 1)
         buf = np.concatenate(self._bits)
         nh = self.fmt.header_nbits()
         nhdr = len(buf) // nh

@@ -74,25 +74,27 @@ def filter_delay_fc(taps):
 
 
 class IvalDecimator(Block):
-    """ival_decimator: keep every Dth pair of interleaved shorts (the
-    reference operates on short I/Q pairs; decimation without filtering)."""
+    """ival_decimator: keep every Dth pair of an interleaved I/Q byte or
+    short stream (flat stream of pairs, as the reference block's plain
+    char/short ports; decimation without filtering)."""
 
     def __init__(self, decimation: int, dtype=S, name=None):
         super().__init__(name)
         self.decim = int(decimation)
-        self.in_ports = (PortSpec(dtype, 2),)
-        self.out_ports = (PortSpec(dtype, 2),)
+        self.in_ports = (PortSpec(dtype),)
+        self.out_ports = (PortSpec(dtype),)
 
     @property
     def in_rates(self):
-        return (Fraction(self.decim),)
+        return (Fraction(2 * self.decim),)
 
     @property
     def out_rates(self):
-        return (Fraction(1),)
+        return (Fraction(2),)
 
     def apply(self, state, inputs, n_in):
-        return state, (inputs[0][:: self.decim],)
+        pairs = inputs[0].reshape(-1, 2 * self.decim)
+        return state, (pairs[:, :2].reshape(-1),)
 
 
 def ival_decimator(decimation, dtype=S):

@@ -133,6 +133,9 @@ class HeaderPayloadDemux(Block):
         # jitter; the reference demux has guard_interval/extra-item analogs)
         self.lead = int(lead)
         self.D = -(-(self.Hl + self.Pm) // self.R)  # lookahead regions
+        # trigger port optional (the reference's io_signature allows
+        # running trigger-less, bursts located by tags/msgs only)
+        self.optional_inputs = (1,)
         self.in_ports = (PortSpec(C), PortSpec(B))
         self.out_ports = (PortSpec(C, self.Hl), PortSpec(C, self.Pm),
                           PortSpec(B), PortSpec(I))

@@ -172,6 +172,30 @@ EXAMPLES = [
     "gr-uhd/examples/grc/uhd_normalized_gain.grc",
     "gr-uhd/examples/grc/uhd_siggen_gui.grc",
     "grc/tests/resources/test_cpp.grc",
+    "gr-blocks/examples/ctrlport/pfb_sync_test.grc",
+    "gr-blocks/examples/msg_passing/hier/test_msg_hier.grc",
+    "gr-blocks/examples/msg_passing/hier/test_msg_hier_topblock.grc",
+    "gr-blocks/examples/tags/tagged_file_sink.grc",
+    "gr-blocks/examples/tags/test_tag_prop.grc",
+    "gr-digital/examples/demod/symbol_sync_test_complex.grc",
+    "gr-digital/examples/demod/symbol_sync_test_float.grc",
+    "gr-digital/examples/packet/packet_loopback_hier.grc",
+    "gr-digital/examples/packet/packet_rx.grc",
+    "gr-digital/examples/packet/packet_tx.grc",
+    "gr-digital/examples/packet/transmitter_sim_hier.grc",
+    "gr-digital/examples/packet/uhd_packet_rx.grc",
+    "gr-digital/examples/packet/uhd_packet_rx_tun.grc",
+    "gr-digital/examples/packet/uhd_packet_tx.grc",
+    "gr-dtv/examples/dvbt_rx_8k.grc",
+    "gr-fec/examples/fecapi_tagged_decoders.grc",
+    "gr-filter/examples/filter_taps_loader.grc",
+    "gr-filter/examples/test_ichar_decim.grc",
+    "gr-qtgui/examples/qtgui_vector_sink_example.grc",
+    "gr-qtgui/examples/test_compass_stream.grc",
+    "gr-uhd/examples/grc/uhd_two_tone_loopback.grc",
+    "gr-uhd/examples/grc/uhd_wbfm_receive.grc",
+    "gr-vocoder/examples/loopback-codec2.grc",
+    "grc/tests/resources/test_compiler.grc",
 ]
 
 
