@@ -234,6 +234,82 @@ def _dvbs2_cfg(p):
                        goldcode=int(p.get("goldcode", 0) or 0))
 
 
+def _fft_taps_filter(kind):
+    """filter_fft_rrc_filter / filter_fft_low_pass_filter hier adapters
+    (gr-filter/python/filter/rrc_filter.py, lp_filter.py: firdes taps +
+    fft_filter)."""
+    def build(p, ns):
+        from .ops import firdes as FD
+        from .ops import filter as FL
+        gain = float(p.get("gain", 1.0) or 1.0)
+        fs = float(p.get("samp_rate", 32000.0) or 32000.0)
+        if kind == "rrc":
+            taps = FD.root_raised_cosine(
+                gain, fs, float(p.get("sym_rate", 1.0) or 1.0),
+                float(p.get("alpha", 0.35) or 0.35),
+                int(p.get("ntaps", 45) or 45))
+        else:
+            taps = FD.low_pass(gain, fs,
+                               float(p.get("cutoff_freq", fs / 4)
+                                     or fs / 4),
+                               float(p.get("width", fs / 10) or fs / 10))
+        decim = int(p.get("decim", 1) or 1)
+        t = str(p.get("type", "ccc"))
+        if t.startswith("f") or t == "fff":
+            return FL.fft_filter_fff(decim, taps)
+        return FL.fft_filter_ccc(decim, taps)
+    return build
+
+
+def _fir_rrc_filter(p, ns):
+    """root_raised_cosine_filter GRC hier (gr-filter/grc): interpolating
+    or decimating FIR with firdes RRC taps."""
+    from .ops import firdes as FD
+    from .ops.filter import FirFilter, InterpFirFilter
+    taps = FD.root_raised_cosine(
+        float(p.get("gain", 1.0) or 1.0),
+        float(p.get("samp_rate", 32000.0) or 32000.0),
+        float(p.get("sym_rate", 1.0) or 1.0),
+        float(p.get("alpha", 0.35) or 0.35),
+        int(p.get("ntaps", 45) or 45))
+    t = str(p.get("type", "fir_filter_ccf"))
+    cplx = "_cc" in t
+    interp = int(p.get("interp", 1) or 1)
+    if interp > 1:
+        return InterpFirFilter(interp, taps, in_complex=cplx)
+    return FirFilter(int(p.get("decim", 1) or 1), taps, in_complex=cplx)
+
+
+def _truthy(v) -> bool:
+    return v in (True, "True", "true", 1, "1")
+
+
+def _packet_header_ofdm_expr(occupied_carriers, n_syms=1,
+                             len_tag_key="packet_len",
+                             frame_len_tag_key="frame_len",
+                             num_tag_key="packet_num",
+                             bits_per_header_sym=1,
+                             bits_per_payload_sym=1,
+                             scramble_header=False, **_):
+    """digital.packet_header_ofdm(...) GRC expression — maps the python
+    wrapper's kwarg names onto HeaderFormatOfdm."""
+    from .ops.digital_packet2 import HeaderFormatOfdm
+    return HeaderFormatOfdm(occupied_carriers, n_syms, len_tag_key,
+                            frame_len_tag_key, num_tag_key,
+                            bits_per_header_sym, bits_per_payload_sym,
+                            scramble_header)
+
+
+def _ofdm_eq_expr(kind):
+    def make(fft_len, *args, **kw):
+        from .ops.ofdm_streaming import (ofdm_equalizer_simpledfe,
+                                         ofdm_equalizer_static)
+        if kind == "simpledfe":
+            return ofdm_equalizer_simpledfe(fft_len, *args, **kw)
+        return ofdm_equalizer_static(fft_len, *args, **kw)
+    return make
+
+
 def _base_namespace():
     from .ops import firdes as _firdes
     from .ops import analog as _analog
@@ -341,7 +417,13 @@ def _base_namespace():
         packet_utils=_ShimNS(
             default_access_code=format(0xACDDA4E2F28C20FC, "064b"),
             default_preamble=format(0xA4F2, "016b") * 4),
-        generic_mod=_generic_mod_expr, generic_demod=_generic_demod_expr)
+        generic_mod=_generic_mod_expr, generic_demod=_generic_demod_expr,
+        # OFDM RX construction expressions (rx_ofdm.grc variables)
+        packet_header_ofdm=_packet_header_ofdm_expr,
+        packet_header_default=_dp2.header_format_default
+        if hasattr(_dp2, "header_format_default") else None,
+        ofdm_equalizer_simpledfe=_ofdm_eq_expr("simpledfe"),
+        ofdm_equalizer_static=_ofdm_eq_expr("static"))
     # pmt/gr shims: GRC tag expressions build tag dicts through
     # gr.python_to_tag + pmt constructors; values pass through as plain
     # python objects (core/tags.Tag carries native values)
@@ -1179,12 +1261,60 @@ def _adapters():
             "gnuradio_tpu.ops.digital", fromlist=["x"]).map_bb(
             p.get("map", p.get("table")) if p.get("map", p.get("table"))
             is not None else list(range(256))),
+        "analog_agc_xx": lambda p, ns: (
+            __import__("gnuradio_tpu.ops.analog", fromlist=["x"]).agc_ff
+            if getattr(p.get("type", "complex"), "__name__",
+                       str(p.get("type", "complex"))).startswith("f") else
+            __import__("gnuradio_tpu.ops.analog", fromlist=["x"]).agc_cc)(
+            rate=float(p.get("rate", 1e-4) or 1e-4),
+            reference=float(p.get("reference", 1.0) or 1.0),
+            gain=float(p.get("gain", 1.0) or 1.0),
+            max_gain=float(p.get("max_gain", 0.0) or 0.0)),
+        "dtv_atsc_sync": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.atsc_blocks", fromlist=["x"]).atsc_sync(
+            float(p.get("rate", 38.4e6) or 38.4e6)),
+        "dtv_atsc_rx": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.atsc_blocks", fromlist=["x"]).atsc_rx(
+            float(p.get("rate", 9.6e6) or 9.6e6),
+            float(p.get("sps", 1.1) or 1.1)),
+        "dtv_atsc_rx_filter": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.atsc_blocks", fromlist=["x"]).atsc_rx_filter(
+            float(p.get("rate", 9.6e6) or 9.6e6),
+            float(p.get("sps", 1.1) or 1.1)),
+        # gr-filter hier wrappers: taps computed from the same firdes
+        # calls the reference's python hiers make (rrc_filter.py etc.)
+        "filter_fft_rrc_filter": _fft_taps_filter("rrc"),
+        "filter_fft_low_pass_filter": _fft_taps_filter("low"),
+        "root_raised_cosine_filter": _fir_rrc_filter,
+        "digital_ofdm_chanest_vcvc": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_streaming", fromlist=["x"]
+        ).OfdmChanestVcvc(p.get("sync_symbol1"), p.get("sync_symbol2"),
+                          int(p.get("n_data_symbols", 1) or 1)),
+        "digital_ofdm_frame_equalizer_vcvc": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_streaming", fromlist=["x"]
+        ).OfdmFrameEqualizerVcvc(p.get("equalizer"),
+                                 int(p.get("cp_len", 0) or 0),
+                                 int(p.get("fixed_frame_len", 0) or 0)),
+        "digital_ofdm_serializer_vcc": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.ofdm_streaming", fromlist=["x"]
+        ).OfdmSerializerVcc(int(p.get("fft_len", 64) or 64),
+                            p.get("occupied_carriers"),
+                            p.get("input_is_shifted", True)),
+        "digital_packet_headerparser_b": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.digital_packet2", fromlist=["x"]
+        ).protocol_parser_b(p.get("header_formatter", p.get("format"))),
+        "fec_bercurve_generator": lambda p, ns: __import__(
+            "gnuradio_tpu.ops.fec_api", fromlist=["x"]).bercurve_generator(
+            p.get("encoder_list"), p.get("decoder_list"),
+            esno=p.get("esno"), seed=p.get("seed", 0)),
         "digital_header_payload_demux": lambda p, ns: __import__(
             "gnuradio_tpu.ops.ofdm_streaming", fromlist=["x"]
         ).header_payload_demux(
-            region_len=512,
+            region_len=1024,
             header_len=max(1, int(p.get("header_len", 32) or 32)),
-            payload_max=512),
+            payload_max=(8 if _truthy(p.get("output_symbols")) else 512),
+            items_per_symbol=int(p.get("items_per_symbol", 1) or 1),
+            output_symbols=_truthy(p.get("output_symbols"))),
         # pads in a DIRECTLY-run hier-defining .grc: stream pads become
         # null endpoints (when instantiated as a hier block the loader
         # inlines the file and splices pads instead — _inline_hier_blocks)
@@ -1360,6 +1490,8 @@ _PARAM_ALIASES = {
 # one generic factory per op)
 _REF_ALIASES = {
     "blocks_argmax_xx": "argmax_fs",
+    "grnet_tcp_source": "tcp_source",    # pre-rename gr-network id
+    "grnet_tcp_sink": "tcp_sink",
     "blocks_peak_detector_xb": "peak_detector_fb",
     "blocks_probe_signal_x": "ProbeSignal",
     "blocks_probe_signal_vx": "ProbeSignal",
@@ -1699,10 +1831,19 @@ def _resolve_ts_blocks(deferred: dict, blocks: dict, conns) -> None:
                 f"cannot infer tagged-stream packet length: {name!r} "
                 f"input {port} is unconnected")
         val = out_len(*src)
-        if val.denominator != 1 or val <= 0:
+        if val <= 0:
             raise ValueError(
-                f"tagged-stream packet length at {name}:{port} is not a "
-                f"positive integer: {val}")
+                f"tagged-stream packet length at {name}:{port} is not "
+                f"positive: {val}")
+        if val.denominator != 1:
+            # slot-padded upstream (e.g. header_payload_demux's fixed
+            # payload_max) makes the walk fractional — round up to the
+            # nearest whole packet; the padded tail is zeros
+            import logging
+            logging.getLogger("gnuradio_tpu.grc").warning(
+                "%s:%d: rounding fractional tagged-stream length %s up",
+                name, port, val)
+            return max(1, int(-(-val.numerator // val.denominator)))
         return int(val)
 
     def resolve(name: str) -> None:

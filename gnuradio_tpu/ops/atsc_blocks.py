@@ -416,3 +416,146 @@ def atsc_fpll(rate=38_400_000.0, alpha=0.01, **_):
 
 def atsc_equalizer(**_):
     return AtscEqualizer()
+
+
+class AtscSync(Block):
+    """dtv_atsc_sync (lib/atsc/atsc_sync_impl.cc): segment-sync-driven
+    timing recovery as a streaming block — 8-tap fractional interpolation
+    at (si, mu), the +5-5-5+5 sign correlator (SSI) integrated per symbol
+    position, timing adjusted from the correlation peak's gradient.
+
+    Streaming form: the per-symbol lax.scan carry (si, mu, adjust,
+    counter, shift register, segment memory, integrator) persists across
+    chunks with an input tail, emitting exactly rate/SYMBOL_RATE-decimated
+    symbols; segment/field alignment downstream is the chunk contract
+    (ops/atsc.timing_sync is the arbitrary-offset chunk-level path)."""
+
+    SLACK = 64
+
+    def __init__(self, rate: float, name=None):
+        super().__init__(name)
+        from fractions import Fraction as _Fr
+        self.rate = float(rate)
+        self.w = self.rate / atsc.SYMBOL_RATE
+        ratio = (_Fr(self.rate).limit_denominator(10 ** 6)
+                 / _Fr(atsc.SYMBOL_RATE).limit_denominator(10 ** 6))
+        self.in_ports = (PortSpec(F),)
+        self.out_ports = (PortSpec(F),)
+        self._in_per_tick = _Fr(ratio.numerator)
+        self._out_per_tick = _Fr(ratio.denominator)
+
+    @property
+    def in_rates(self):
+        return (self._in_per_tick,)
+
+    @property
+    def out_rates(self):
+        return (self._out_per_tick,)
+
+    def init_state(self):
+        SEG = atsc.DATA_SEGMENT_LENGTH
+        return {"tail": jnp.zeros(self.SLACK, jnp.float32),
+                "si": jnp.int32(0), "mu": jnp.float32(0.5),
+                "adjust": jnp.float32(0.0), "counter": jnp.int32(0),
+                "sr": jnp.int32(0),
+                "smem": jnp.zeros(SEG, jnp.float32),
+                "integ": jnp.full(SEG, atsc._SSI_MIN, jnp.int32)}
+
+    def apply(self, state, inputs, n_in):
+        from .digital_loops import mmse_interp
+        SEG = atsc.DATA_SEGMENT_LENGTH
+        x = jnp.concatenate([state["tail"], inputs[0].astype(jnp.float32)])
+        n = inputs[0].shape[0]
+        nsym = int(n / self.w)
+        w = jnp.float32(self.w)
+
+        def step(carry, _):
+            si, mu, adjust, counter, sr, smem, integ = carry
+            sample = mmse_interp(x, si, mu)
+            mu = mu + atsc._ADJUSTMENT_GAIN * 1e3 * adjust
+            s = mu + w
+            incr = jnp.floor(s)
+            mu = s - incr
+            si = si + incr.astype(jnp.int32)
+            smem = smem.at[counter].set(sample)
+            bit = (sample >= 0).astype(jnp.int32)
+            sr = ((bit & 1) << 3) | (sr >> 1)
+            integ = jnp.clip(integ.at[counter].add(
+                jnp.where(sr == 0x9, 2, -1)), atsc._SSI_MIN, atsc._SSI_MAX)
+
+            def on_wrap(adj):
+                best = jnp.argmax(integ).astype(jnp.int32)
+                idx = (best - jnp.arange(4)) % SEG
+                g = smem[idx]
+                return -g[0] - g[1] + g[2] + g[3]
+
+            wrapped = counter + 1 >= SEG
+            adjust = jax.lax.cond(wrapped, on_wrap, lambda a: a, adjust)
+            counter = jnp.where(wrapped, 0, counter + 1)
+            return (si, mu, adjust, counter, sr, smem, integ), sample
+
+        carry0 = (state["si"], state["mu"], state["adjust"],
+                  state["counter"], state["sr"], state["smem"],
+                  state["integ"])
+        (si, mu, adjust, counter, sr, smem, integ), samples = \
+            jax.lax.scan(step, carry0, None, length=nsym)
+        new = {"tail": x[x.shape[0] - self.SLACK:],
+               "si": si - jnp.int32(n), "mu": mu, "adjust": adjust,
+               "counter": counter, "sr": sr, "smem": smem, "integ": integ}
+        return new, (samples.astype(jnp.float32),)
+
+
+def atsc_sync(rate=38_400_000.0, **_):
+    return AtscSync(float(rate))
+
+
+def atsc_rx_filter(input_rate: float, sps: float = 1.1):
+    """dtv_atsc_rx_filter (gr-dtv/python/dtv/atsc_rx_filter.py): RRC
+    matched filter inside a polyphase arbitrary resampler to
+    SYMBOL_RATE*sps."""
+    from . import firdes as FD
+    from .pfb import pfb_arb_resampler_ccf
+    nfilts = 16
+    output_rate = atsc.SYMBOL_RATE * sps
+    filter_rate = input_rate * nfilts
+    symbol_rate = atsc.SYMBOL_RATE / 2.0
+    excess_bw = 0.1152
+    ntaps = int((2 * 8 + 1) * sps * nfilts)
+    interp = output_rate / input_rate
+    gain = nfilts * symbol_rate / filter_rate
+    taps = FD.root_raised_cosine(gain, filter_rate, symbol_rate,
+                                 excess_bw, ntaps)
+    return pfb_arb_resampler_ccf(interp, taps, nfilts)
+
+
+def atsc_rx(rate: float, sps: float = 1.1, name=None):
+    """dtv_atsc_rx (gr-dtv/python/dtv/atsc_rx.py): the full ATSC receive
+    hier — RRC resampler, FPLL, DC blocker, AGC, timing sync, field-sync
+    check, LMS equalizer, Viterbi, deinterleave, RS decode, derandomize,
+    depad — composed from the granular blocks of this module."""
+    from ..core.hier import HierBlock
+    from .filter import dc_blocker_ff
+    from .analog import agc_ff
+    output_rate = atsc.SYMBOL_RATE * float(sps)
+    h = HierBlock(name or "atsc_rx", in_ports=(PortSpec(C),),
+                  out_ports=(PortSpec(B),))
+    filt = atsc_rx_filter(float(rate), float(sps))
+    pll = AtscFpll(output_rate)
+    dcr = dc_blocker_ff(4096)
+    agc = agc_ff(1e-5, 4.0)
+    btl = AtscSync(output_rate)
+    fsc = AtscFsChecker()
+    equ = AtscEqualizer()
+    vit = AtscViterbiDecoder()
+    dei = AtscDeinterleaver()
+    rsd = AtscRsDecoder()
+    der = AtscDerandomizer()
+    dep = AtscDepad()
+    h.connect((h, 0), (filt, 0))
+    for a, b in zip([filt, pll, dcr, agc, btl, fsc, equ, vit, dei, rsd,
+                     der, dep],
+                    [pll, dcr, agc, btl, fsc, equ, vit, dei, rsd, der,
+                     dep]):
+        h.connect((a, 0), (b, 0))
+    h.connect((dep, 0), (h, 0))
+    return h

@@ -355,6 +355,13 @@ class HeaderFormatDefault:
     """header_format_default: access code bits + 16-bit length repeated twice
     (gr-digital/lib/header_format_default.cc)."""
 
+    def base(self):
+        """GRC expressions call .base() on the sptr wrapper."""
+        return self
+
+    def formatter(self):
+        return self
+
     def __init__(self, access_code: int | str = 0xACDDA4E2F28C20FC,
                  code_bits: int = 64, threshold: int = 0):
         if isinstance(access_code, str):
@@ -430,6 +437,13 @@ class HeaderFormatCrc:
     """header_format_crc: 12-bit length + 12-bit number + CRC8 over both
     (gr-digital/lib/header_format_crc.cc). Key names are carried for the
     parser's metadata dict."""
+
+    def base(self):
+        """GRC expressions call .base() on the sptr wrapper."""
+        return self
+
+    def formatter(self):
+        return self
 
     def __init__(self, len_key_name: str = "packet_len",
                  num_key_name: str = "packet_num"):
@@ -586,6 +600,9 @@ class ProtocolParserB(SinkBlock):
         super().__init__(PortSpec(B), name)
         self.fmt = fmt
         self.message_port_register_out("info")
+        # the OFDM form of the parser publishes on 'header_data'
+        # (packet_headerparser_b.block.yml) — same payload, alias port
+        self.message_port_register_out("header_data")
         self._bits: list[np.ndarray] = []
         self.parsed: list = []
 
@@ -610,6 +627,7 @@ class ProtocolParserB(SinkBlock):
             if ok:
                 self.parsed.append(info)
                 self.post("info", info)
+                self.post("header_data", info)
         self._bits = [buf[nhdr * nh:]]
 
 

@@ -436,3 +436,60 @@ def ber_curve(code: GenericCode, esn0_db, frames: int = 64, seed: int = 0):
         ber = float(np.mean(dec != u))
         out.append((float(db), ber))
     return out
+
+
+class BercurveGenerator(Block):
+    """fec_bercurve_generator (gr-fec/python/fec/bercurve_generator.py):
+    0 inputs, 2*len(esno) unpacked-byte outputs — per Es/N0 point the
+    (tx bits, decoded bits) pair of an AWGN BPSK loopback through the
+    code. One jitted step encodes/corrupts/decodes ALL SNR points
+    batched; the PRNG key is the carried state."""
+
+    def __init__(self, code: GenericCode, esno, seed: int = 0, name=None):
+        super().__init__(name)
+        self.code = code
+        self.esno = np.atleast_1d(np.asarray(esno, np.float64))
+        self.seed = int(seed) & 0x7FFFFFFF
+        self.in_ports = ()
+        self.out_ports = tuple(PortSpec(B)
+                               for _ in range(2 * self.esno.size))
+        self.sigmas = np.sqrt(0.5 * 10 ** (-self.esno / 10.0) * 2.0
+                              ).astype(np.float32)
+
+    @property
+    def in_rates(self):
+        return ()
+
+    @property
+    def out_rates(self):
+        return tuple(Fraction(self.code.k_bits)
+                     for _ in range(2 * self.esno.size))
+
+    def init_state(self):
+        return jax.random.PRNGKey(self.seed)
+
+    def apply(self, state, inputs, n_in):
+        k = self.code.k_bits
+        ne = self.esno.size
+        key, k1, k2 = jax.random.split(state, 3)
+        u = jax.random.bernoulli(k1, 0.5, (ne, k)).astype(jnp.int8)
+        x = 1.0 - 2.0 * self.code.encode_frames(u).astype(jnp.float32)
+        noise = jax.random.normal(k2, x.shape, jnp.float32) \
+            * jnp.asarray(self.sigmas)[:, None]
+        dec = self.code.decode_frames(x + noise)
+        outs = []
+        for i in range(ne):
+            outs.append(u[i].astype(jnp.int8))
+            outs.append(dec[i].astype(jnp.int8))
+        return key, tuple(outs)
+
+
+def bercurve_generator(encoder_list, decoder_list=None, esno=None,
+                       samp_rate=None, threadtype=None, puncpat=None,
+                       seed=0, **_):
+    code = encoder_list
+    if isinstance(code, (list, tuple)):
+        code = code[0]
+    if esno is None:
+        esno = np.arange(0.0, 3.0, 0.25)
+    return BercurveGenerator(code, esno, seed=abs(int(seed or 0)))

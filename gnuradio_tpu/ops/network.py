@@ -31,7 +31,8 @@ class UdpSink(SinkBlock):
         self.payload_items = int(payload_items)
         self.header = header
         self._seq = 0
-        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        fam = socket.AF_INET6 if ":" in str(host) else socket.AF_INET
+        self._sock = socket.socket(fam, socket.SOCK_DGRAM)
         self._pending = np.zeros(0, np.dtype(in_port.dtype))
 
     def collect(self, value):
@@ -120,23 +121,37 @@ def udp_source(port, header=HEADERTYPE_NONE, timeout=2.0, dtype=C):
     return UdpSource(port, header, timeout, PortSpec(dtype))
 
 
-def tcp_sink(addr="127.0.0.1", port=2000, server=True, dtype=C, vlen=1,
-             **_):
+def tcp_sink(addr="127.0.0.1", port=2000, server=True, mode=None, dtype=C,
+             vlen=1, **_):
     """network_tcp_sink (gr-network/lib/tcp_sink_impl.cc): raw TCP stream
-    sink. Server mode binds and waits for one peer (the reference default);
-    frames ride this package's framed transport (tags in-band — a superset
-    of the reference's raw byte stream)."""
-    from ..parallel.transport import StreamServer, TcpStreamSink
+    sink. mode 1 = client (connect to addr:port), mode 2 / server=True =
+    bind and wait for one peer; frames ride this package's framed
+    transport (tags in-band — a superset of the reference's raw byte
+    stream). IPv6 addresses select AF_INET6."""
+    from ..parallel.transport import (StreamServer, StreamClient,
+                                      TcpStreamSink)
     from ..core.stream import PortSpec
-    return TcpStreamSink(StreamServer(str(addr), int(port)),
-                         PortSpec(dtype, int(vlen or 1)))
+    if mode is not None:
+        server = int(mode) == 2
+    if server:
+        peer = StreamServer(str(addr), int(port))
+    else:
+        peer = StreamClient(str(addr), int(port), timeout=10.0, lazy=True)
+    return TcpStreamSink(peer, PortSpec(dtype, int(vlen or 1)))
 
 
-def tcp_source(addr="127.0.0.1", port=2000, dtype=C, vlen=1, timeout=10.0,
-               **_):
-    """network_tcp_source: connects (lazily, with retry) and streams."""
-    from ..parallel.transport import StreamClient, TcpStreamSource
+def tcp_source(addr="127.0.0.1", port=2000, server=False, dtype=C, vlen=1,
+               timeout=10.0, **_):
+    """network_tcp_source: client mode connects (lazily, with retry);
+    server mode binds and accepts one sender. Zero-fills while no data
+    has arrived (the reference returns 0 items and retries)."""
+    from ..parallel.transport import (StreamClient, StreamAcceptor,
+                                      TcpStreamSource)
     from ..core.stream import PortSpec
-    return TcpStreamSource(StreamClient(str(addr), int(port),
-                                        float(timeout)),
-                           PortSpec(dtype, int(vlen or 1)))
+    srv = server in (True, "True", "true", 1, "1")
+    if srv:
+        cli = StreamAcceptor(str(addr), int(port), float(timeout))
+    else:
+        cli = StreamClient(str(addr), int(port), float(timeout), lazy=True)
+    return TcpStreamSource(cli, PortSpec(dtype, int(vlen or 1)),
+                           fill_timeout=2.0)

@@ -123,11 +123,17 @@ class HeaderPayloadDemux(Block):
     analog: triggers during a frame are ignored)."""
 
     def __init__(self, region_len: int, header_len: int, payload_max: int,
-                 parser=None, lead: int = 0, name=None):
+                 parser=None, lead: int = 0, items_per_symbol: int = 1,
+                 output_symbols: bool = False, name=None):
         super().__init__(name)
         self.R = int(region_len)
-        self.Hl = int(header_len)
-        self.Pm = int(payload_max)
+        # with output_symbols (the reference's OFDM use), header_len and
+        # payload_max count SYMBOLS of items_per_symbol samples, and the
+        # header/payload ports emit items_per_symbol-vectors
+        self.S = int(items_per_symbol) if output_symbols else 1
+        self.out_sym = bool(output_symbols) and self.S > 1
+        self.Hl = int(header_len) * self.S
+        self.Pm = int(payload_max) * self.S
         self.parser = parser
         # slots start `lead` samples BEFORE the trigger (margin for trigger
         # jitter; the reference demux has guard_interval/extra-item analogs)
@@ -136,9 +142,14 @@ class HeaderPayloadDemux(Block):
         # trigger port optional (the reference's io_signature allows
         # running trigger-less, bursts located by tags/msgs only)
         self.optional_inputs = (1,)
-        self.in_ports = (PortSpec(C), PortSpec(B))
-        self.out_ports = (PortSpec(C, self.Hl), PortSpec(C, self.Pm),
-                          PortSpec(B), PortSpec(I))
+        if self.out_sym:
+            self.in_ports = (PortSpec(C), PortSpec(B))
+            self.out_ports = (PortSpec(C, self.S), PortSpec(C, self.S),
+                              PortSpec(B), PortSpec(I))
+        else:
+            self.in_ports = (PortSpec(C), PortSpec(B))
+            self.out_ports = (PortSpec(C, self.Hl), PortSpec(C, self.Pm),
+                              PortSpec(B), PortSpec(I))
         self.tag_policy = "dont"
 
     @property
@@ -147,6 +158,9 @@ class HeaderPayloadDemux(Block):
 
     @property
     def out_rates(self):
+        if self.out_sym:
+            return (Fraction(self.Hl // self.S),
+                    Fraction(self.Pm // self.S), Fraction(1), Fraction(1))
         return (Fraction(1),) * 4
 
     def init_state(self):
@@ -179,12 +193,18 @@ class HeaderPayloadDemux(Block):
         mask = jnp.arange(Pm)[None, :] < plen[:, None]
         pay = jnp.where(mask, pay, 0)
         hdr = jnp.where(has[:, None], hdr, 0)
+        if self.out_sym:
+            hdr = hdr.reshape(-1, self.S)
+            pay = pay.reshape(-1, self.S)
         return new_state, (hdr.astype(C), pay.astype(C),
                            has.astype(jnp.int8), plen)
 
 
-def header_payload_demux(region_len, header_len, payload_max, parser=None):
-    return HeaderPayloadDemux(region_len, header_len, payload_max, parser)
+def header_payload_demux(region_len, header_len, payload_max, parser=None,
+                         items_per_symbol=1, output_symbols=False):
+    return HeaderPayloadDemux(region_len, header_len, payload_max, parser,
+                              items_per_symbol=items_per_symbol,
+                              output_symbols=output_symbols)
 
 
 # ---------------------------------------------------------------------------
@@ -295,3 +315,168 @@ class OfdmBurstDecoder(Block):
         idx = idx * v[:, None]
         count = count * v
         return state, (idx, count.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# granular OFDM RX blocks in the reference's vcvc/vcc forms (rx_ofdm.grc)
+# ---------------------------------------------------------------------------
+
+class OfdmEqualizerSpec:
+    """digital.ofdm_equalizer_simpledfe / _static descriptor (GRC variable
+    expressions call .base() like the reference's sptr wrappers)."""
+
+    def __init__(self, kind, fft_len, constellation=None,
+                 occupied_carriers=None, pilot_carriers=None,
+                 pilot_symbols=None, alpha=0.1, symbols_skipped=0):
+        self.kind = kind
+        self.fft_len = int(fft_len)
+        pts = getattr(constellation, "points", constellation)
+        self.points = (np.asarray(pts, np.complex64).reshape(-1)
+                       if pts is not None else None)
+        self.occupied_carriers = occupied_carriers
+        self.pilot_carriers = pilot_carriers
+        self.pilot_symbols = pilot_symbols
+
+    def base(self):
+        return self
+
+
+def ofdm_equalizer_simpledfe(fft_len, constellation=None,
+                             occupied_carriers=None, pilot_carriers=None,
+                             pilot_symbols=None, alpha=0.1,
+                             symbols_skipped=0, **_):
+    return OfdmEqualizerSpec("simpledfe", fft_len, constellation,
+                             occupied_carriers, pilot_carriers,
+                             pilot_symbols, alpha, symbols_skipped)
+
+
+def ofdm_equalizer_static(fft_len, occupied_carriers=None,
+                          pilot_carriers=None, pilot_symbols=None,
+                          symbols_skipped=0, **_):
+    return OfdmEqualizerSpec("static", fft_len, None, occupied_carriers,
+                             pilot_carriers, pilot_symbols, 0.0,
+                             symbols_skipped)
+
+
+class OfdmChanestVcvc(Block):
+    """digital_ofdm_chanest_vcvc (lib/ofdm_chanest_vcvc_impl.cc): consume
+    the sync symbol(s) of each frame, LS-estimate the channel on active
+    carriers, pass the n_data symbols through EQUALIZED by the estimate.
+
+    Contract-level streaming composition: the reference attaches the
+    estimate as a tag for the downstream frame equalizer; the static-shape
+    graph applies the static LS correction here and the (simpledfe)
+    frame equalizer refines decision-directed from unity — first-order
+    identical, no dynamic tag payloads."""
+
+    def __init__(self, sync_symbol1, sync_symbol2=None, n_data_symbols=1,
+                 name=None):
+        super().__init__(name)
+        s1 = np.asarray(sync_symbol1, np.complex64).reshape(-1)
+        self.fft_len = s1.shape[0]
+        self.sync1 = s1
+        self.sync2 = (np.asarray(sync_symbol2, np.complex64).reshape(-1)
+                      if sync_symbol2 is not None
+                      and len(np.atleast_1d(sync_symbol2)) else None)
+        self.n_sync = 2 if self.sync2 is not None else 1
+        self.n_data = int(n_data_symbols)
+        self.in_ports = (PortSpec(C, self.fft_len),)
+        self.out_ports = (PortSpec(C, self.fft_len),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(self.n_sync + self.n_data),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(self.n_data),)
+
+    def apply(self, state, inputs, n_in):
+        fr = inputs[0].reshape(-1, self.n_sync + self.n_data, self.fft_len)
+        # estimate from the LAST sync symbol (the reference uses sync2
+        # when present; sync1 then only resolves integer carrier offset)
+        ref = jnp.asarray(self.sync2 if self.sync2 is not None
+                          else self.sync1)
+        rx_sync = fr[:, self.n_sync - 1, :]
+        active = jnp.abs(ref) > 1e-9
+        H = jnp.where(active, rx_sync / jnp.where(active, ref, 1.0), 1.0)
+        data = fr[:, self.n_sync:, :]
+        eq = jnp.where(active[None, None, :],
+                       data / H[:, None, :], data)
+        return state, (eq.reshape(-1, self.fft_len).astype(jnp.complex64),)
+
+
+class OfdmFrameEqualizerVcvc(Block):
+    """digital_ofdm_frame_equalizer_vcvc: symbol-by-symbol decision-
+    directed (simpledfe) or passthrough (static, estimate already applied
+    upstream) equalization; H carried across chunks."""
+
+    def __init__(self, equalizer: OfdmEqualizerSpec, cp_len=0,
+                 fixed_frame_len=0, name=None):
+        super().__init__(name)
+        self.spec = equalizer
+        self.fft_len = equalizer.fft_len
+        self.in_ports = (PortSpec(C, self.fft_len),)
+        self.out_ports = (PortSpec(C, self.fft_len),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(1),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(1),)
+
+    def init_state(self):
+        return jnp.ones(self.fft_len, jnp.complex64)
+
+    def apply(self, state, inputs, n_in):
+        syms = inputs[0].reshape(-1, self.fft_len)
+        if self.spec.kind != "simpledfe" or self.spec.points is None:
+            return state, (syms.astype(jnp.complex64),)
+        pts = jnp.asarray(self.spec.points)
+
+        def step(H, y):
+            eq = y / H
+            d = pts[jnp.argmin(jnp.abs(eq[:, None] - pts[None, :]),
+                               axis=1)]
+            upd = jnp.where(jnp.abs(d) > 1e-9, y / d, H)
+            H = 0.9 * H + 0.1 * upd
+            return H, eq
+
+        H, out = jax.lax.scan(step, state, syms)
+        return H, (out.astype(jnp.complex64),)
+
+
+class OfdmSerializerVcc(Block):
+    """digital_ofdm_serializer_vcc: pick the occupied carriers out of each
+    fft_len vector (input_is_shifted offsets indices by fft_len/2)."""
+
+    def __init__(self, fft_len, occupied_carriers, input_is_shifted=True,
+                 name=None):
+        super().__init__(name)
+        self.fft_len = int(fft_len)
+        occ = occupied_carriers
+        if len(occ) and isinstance(occ[0], (list, tuple, np.ndarray)):
+            occ = occ[0]
+        idx = np.asarray(occ, np.int64)
+        if input_is_shifted in (True, "True", "true", 1):
+            idx = idx + self.fft_len // 2
+        else:
+            idx = idx % self.fft_len
+        self.idx = idx.astype(np.int32)
+        self.in_ports = (PortSpec(C, self.fft_len),)
+        self.out_ports = (PortSpec(C),)
+
+    @property
+    def in_rates(self):
+        return (Fraction(1),)
+
+    @property
+    def out_rates(self):
+        return (Fraction(len(self.idx)),)
+
+    def apply(self, state, inputs, n_in):
+        syms = inputs[0].reshape(-1, self.fft_len)
+        out = syms[:, jnp.asarray(self.idx)]
+        return state, (out.reshape(-1).astype(jnp.complex64),)

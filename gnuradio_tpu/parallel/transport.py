@@ -72,12 +72,18 @@ def _unpack_frame(body: bytes):
     return kind, offset, nitems, itemsize, tags, payload
 
 
+def _family_of(addr: str) -> int:
+    return socket.AF_INET6 if ":" in str(addr) else socket.AF_INET
+
+
 class StreamServer:
     """PUSH-side listener: accepts one peer, sends frames (kernel TCP
-    backpressure plays the HWM role)."""
+    backpressure plays the HWM role). IPv6 addresses select AF_INET6."""
 
     def __init__(self, bind_addr: str = "127.0.0.1", port: int = 0):
-        self._lsock = socket.socket()
+        if bind_addr in ("::", ""):
+            bind_addr = "::" if ":" in bind_addr else "0.0.0.0"
+        self._lsock = socket.socket(_family_of(bind_addr))
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind((bind_addr, port))
         self._lsock.listen(1)
@@ -158,25 +164,24 @@ class StreamClient:
         if self._sock is None:
             self._connect()
 
-    def recv_frame(self):
-        """-> (kind, offset, nitems, itemsize, tags, payload) or None on
-        EOF."""
+    def recv_frame(self, timeout: float | None = None):
+        """-> (kind, offset, nitems, itemsize, tags, payload), None on
+        EOF, or the string 'timeout' when `timeout` elapses mid-wait
+        (partial bytes stay buffered)."""
         self._ensure()
+        self._sock.settimeout(timeout)
         # drain a buffered frame first (the poll path may have read ahead)
         fr = self._pop_buffered_frame()
         if fr is not None:
             return fr
-        need = 4 + (struct.unpack("<I", bytes(self._rxbuf[:4]))[0]
-                    if len(self._rxbuf) >= 4 else 0)
         while True:
-            missing = need - len(self._rxbuf)
-            if missing > 0:
-                chunk = _read_exact(self._sock, missing)
-                if chunk is None:
-                    return None
-                self._rxbuf += chunk
-            if len(self._rxbuf) >= 4:
-                need = 4 + struct.unpack("<I", bytes(self._rxbuf[:4]))[0]
+            try:
+                chunk = self._sock.recv(65536)
+            except socket.timeout:
+                return "timeout"
+            if not chunk:
+                return None
+            self._rxbuf += chunk
             fr = self._pop_buffered_frame()
             if fr is not None:
                 return fr
@@ -193,6 +198,17 @@ class StreamClient:
         body = bytes(self._rxbuf[4:4 + n])
         del self._rxbuf[:4 + n]
         return _unpack_frame(body)
+
+    def send_items(self, arr: np.ndarray, offset: int, tags=()):
+        """Client-side SEND (network_tcp_sink client mode): same frame
+        format as StreamServer.send_items over the connected socket."""
+        self._ensure()
+        a = np.ascontiguousarray(arr)
+        frame = _pack_frame(KIND_STREAM, offset, a.tobytes(),
+                            a.dtype.itemsize
+                            * (a.shape[1] if a.ndim > 1 else 1),
+                            a.shape[0], tags)
+        self._sock.sendall(frame)
 
     def poll_frames(self, timeout: float = 0.05):
         """Non-blocking-ish poll: read whatever bytes are available within
@@ -215,10 +231,12 @@ class StreamClient:
             pass
         return frames
 
-    def recv_items(self, dtype):
-        fr = self.recv_frame()
+    def recv_items(self, dtype, timeout: float | None = None):
+        fr = self.recv_frame(timeout)
         if fr is None:
             return None
+        if fr == "timeout":
+            return "timeout"
         kind, offset, nitems, itemsize, tags, payload = fr
         arr = np.frombuffer(payload, dtype=dtype)
         return arr, offset, tags
@@ -270,11 +288,17 @@ class TcpStreamSource(SourceBlock):
     mints_tags = True   # stream_tags arrive from the wire during chunks()
 
     def __init__(self, client: StreamClient, out_port: PortSpec = PortSpec(C),
-                 name=None):
+                 name=None, fill_timeout: float | None = None):
         super().__init__(out_port, name)
         self.client = client
         self.items_supplied = 0
         self.stream_tags: list = []
+        # fill_timeout: one-process loopback graphs (both ZMQ ends in one
+        # flowgraph, like the reference gr-zeromq examples) would deadlock
+        # — the source pulls before the same step's sink sends. With a
+        # timeout, un-arrived items fill as zeros (the stream runs one
+        # step of latency behind, exactly the reference's pipeline lag).
+        self.fill_timeout = fill_timeout
 
     def chunks(self, n: int):
         np_dtype = np.dtype(self.out_ports[0].dtype)
@@ -283,17 +307,22 @@ class TcpStreamSource(SourceBlock):
         eof = False
         while not eof:
             while len(buf) < n:
-                got = self.client.recv_items(np_dtype)
+                got = self.client.recv_items(np_dtype, self.fill_timeout)
                 if got is None:
                     eof = True
+                    break
+                if isinstance(got, str):        # timeout: zero-fill
                     break
                 arr, offset, tags = got
                 self.stream_tags.extend(tags)
                 buf = np.concatenate([buf, arr])
-            if len(buf) == 0:
+            if len(buf) == 0 and eof:
                 return
             chunk, buf = buf[:n], buf[n:]
-            self.items_supplied += len(chunk)
+            # EOF shortfall: count only the real items (the sink truncates
+            # the padded tail); timeout fill: count the whole chunk (the
+            # stream is live, just lagging)
+            self.items_supplied += len(chunk) if eof else n
             if len(chunk) < n:
                 chunk = np.concatenate([chunk, np.zeros(n - len(chunk),
                                                         np_dtype)])
@@ -415,6 +444,38 @@ class RepServer:
         self._srv.close()
 
 
+class StreamAcceptor(StreamClient):
+    """Server-mode RECEIVER (network_tcp_source server=True): binds and
+    accepts one peer lazily, then reads frames with the same reassembly
+    machinery as StreamClient."""
+
+    def __init__(self, bind_addr: str = "0.0.0.0", port: int = 0,
+                 timeout: float = 10.0):
+        self._timeout = timeout
+        self._rxbuf = bytearray()
+        self._sock = None
+        if bind_addr in ("::", ""):
+            bind_addr = "::" if ":" in str(bind_addr) else "0.0.0.0"
+        self._lsock = socket.socket(_family_of(bind_addr))
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((bind_addr, int(port)))
+        self._lsock.listen(1)
+        self.port = self._lsock.getsockname()[1]
+
+    def _connect(self):
+        self._lsock.settimeout(self._timeout)
+        self._sock, _ = self._lsock.accept()
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def close(self):
+        for s in (self._sock, self._lsock):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass
+
+
 class ReqClient:
     """REQ-side: requests batches of items (zeromq::req_source analog)."""
 
@@ -472,7 +533,11 @@ def _parse_address(address: str):
 
 
 def _spec(dtype=C, vlen=1):
-    from ..core.stream import dtype_of
+    from ..core.stream import dtype_of, F, I, S, B
+    if isinstance(dtype, type):
+        # GRC 'type' params evaluate to python classes in the importer's
+        # namespace (complex/float/int) — map to the stream item dtypes
+        dtype = {complex: C, float: F, int: I}.get(dtype, dtype)
     if isinstance(dtype, str):
         dtype = dtype_of({"complex": "c", "float": "f", "int": "i",
                           "short": "s", "byte": "b"}.get(dtype, dtype))
@@ -488,7 +553,7 @@ def pull_source(address="tcp://127.0.0.1:0", type=C, vlen=1, timeout=10.0,
                 **_):
     host, port = _parse_address(address)
     return TcpStreamSource(StreamClient(host, port, float(timeout), lazy=True),
-                           _spec(type, vlen))
+                           _spec(type, vlen), fill_timeout=1.0)
 
 
 def pub_sink(address="tcp://127.0.0.1:0", type=C, vlen=1, **_):
@@ -501,7 +566,7 @@ def sub_source(address="tcp://127.0.0.1:0", type=C, vlen=1, timeout=10.0,
     # SUB wire-side == PULL (SubClient = StreamClient)
     host, port = _parse_address(address)
     return TcpStreamSource(SubClient(host, port, float(timeout), lazy=True),
-                           _spec(type, vlen))
+                           _spec(type, vlen), fill_timeout=1.0)
 
 
 class RepStreamSink(SinkBlock):
@@ -512,14 +577,13 @@ class RepStreamSink(SinkBlock):
                  name=None):
         super().__init__(in_port, name)
         self.server = server
-        self._thread = None
+        # serve from construction: a one-process loopback's REQ side asks
+        # BEFORE the first step feeds anything — empty replies until then
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
 
     def collect(self, value):
         self.server.feed(np.asarray(value))
-        if self._thread is None:
-            t = threading.Thread(target=self._serve, daemon=True)
-            t.start()
-            self._thread = t
 
     def _serve(self):
         try:
@@ -565,10 +629,13 @@ class ReqStreamSource(SourceBlock):
                     break
                 if got[0].shape[0] == 0:
                     # empty reply: feeder may still be filling — retry
-                    # briefly; persistent empties mean end-of-stream.
+                    # briefly; persistent empties zero-fill the chunk
+                    # (one-process loopback lag, same policy as
+                    # TcpStreamSource.fill_timeout). True EOF is a closed
+                    # connection (got is None).
                     empty_polls += 1
                     if empty_polls > 20:
-                        eof = True
+                        empty_polls = 0
                         break
                     _time.sleep(0.01)
                     continue
@@ -598,6 +665,9 @@ class ZmqMsgSink(SinkBlock):
     """Message-variant sinks (pub_msg_sink / push_msg_sink / rep_msg_sink):
     PMTs posted to the 'in' message port go out over the wire."""
 
+    accept_any_msg = True       # msg-only: the stream port is vestigial
+    optional_inputs = (0,)
+
     def __init__(self, server, name=None):
         super().__init__(PortSpec(C), name)
         self.server = server
@@ -620,6 +690,11 @@ class ZmqMsgSource(SourceBlock):
         super().__init__(PortSpec(C), name)
         self.client = client
         self.message_port_register_out("out")
+
+    def generate(self, state, n):
+        # msg-only block: the vestigial stream port emits zeros
+        import jax.numpy as jnp
+        return state, jnp.zeros(n, C)
 
     def msg_work(self, step_index):
         try:

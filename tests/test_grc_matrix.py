@@ -172,6 +172,19 @@ EXAMPLES = [
     "gr-uhd/examples/grc/uhd_normalized_gain.grc",
     "gr-uhd/examples/grc/uhd_siggen_gui.grc",
     "grc/tests/resources/test_cpp.grc",
+    "gr-digital/examples/ofdm/rx_ofdm.grc",
+    "gr-dtv/examples/uhd_atsc_rx.grc",
+    "gr-fec/examples/ber_curve_gen.grc",
+    "gr-fec/examples/ber_curve_gen_ldpc.grc",
+    "gr-fec/examples/polar_ber_curve_gen.grc",
+    "gr-fec/examples/tpc_ber_curve_gen.grc",
+    "gr-network/examples/test_udp_sink_ipv6.grc",
+    "gr-zeromq/examples/zeromq_pubsub.grc",
+    "gr-zeromq/examples/zeromq_pushpull.grc",
+    "gr-zeromq/examples/zeromq_reqrep.grc",
+    "gr-zeromq/examples/zmq_msg.grc",
+    "gr-zeromq/examples/zmq_stream.grc",
+    "grc/core/default_flow_graph.grc",
     "gr-blocks/examples/ctrlport/pfb_sync_test.grc",
     "gr-blocks/examples/msg_passing/hier/test_msg_hier.grc",
     "gr-blocks/examples/msg_passing/hier/test_msg_hier_topblock.grc",
@@ -257,11 +270,130 @@ def _auto_file_overrides(path, tmpdir):
     return overrides
 
 
+# per-example block-param overrides: file_atsc_rx feeds the full atsc_rx
+# hier whose arbitrary-resampler ratio (SYMBOL_RATE*sps / 6.25 MHz) is a
+# large rational — grid the declared input rate to SYMBOL_RATE*sps/2 so
+# the static-rate solver lands on field boundaries at a feasible step
+# (the synthetic input file has no real rate anyway)
+_SYM = 4.5e6 / 286 * 684
+EXAMPLE_OVERRIDES = {
+    "gr-dtv/examples/file_atsc_rx.grc": {
+        "dtv_atsc_rx_0": {"rate": _SYM * 1.5 / 2, "sps": 1.5}},
+    # the zeromq examples all bind 5555-5557 — rebase each example onto
+    # its own port range so the suite can run them back to back
+    "gr-zeromq/examples/zeromq_pushpull.grc": {
+        "zeromq_push_sink_0": {"address": "tcp://127.0.0.1:15665"},
+        "zeromq_pull_source_0": {"address": "tcp://127.0.0.1:15665"}},
+    "gr-zeromq/examples/zeromq_reqrep.grc": {
+        "zeromq_rep_sink_0": {"address": "tcp://127.0.0.1:15675"},
+        "zeromq_req_source_0": {"address": "tcp://127.0.0.1:15675"}},
+    "gr-zeromq/examples/zmq_msg.grc": {
+        "zeromq_pub_msg_sink_0": {"address": "tcp://127.0.0.1:15685"},
+        "zeromq_sub_msg_source_0": {"address": "tcp://127.0.0.1:15685"},
+        "zeromq_sub_msg_source_0_0": {"address": "tcp://127.0.0.1:15685"},
+        "zeromq_push_msg_sink_0": {"address": "tcp://127.0.0.1:15686"},
+        "zeromq_pull_msg_source_0": {"address": "tcp://127.0.0.1:15686"},
+        "zeromq_rep_msg_sink_0": {"address": "tcp://127.0.0.1:15687"},
+        "zeromq_req_msg_source_0": {"address": "tcp://127.0.0.1:15687"}},
+    "gr-zeromq/examples/zmq_stream.grc": {
+        "zeromq_pub_sink_0": {"address": "tcp://127.0.0.1:15695"},
+        "zeromq_sub_source_0": {"address": "tcp://127.0.0.1:15695"},
+        "zeromq_push_sink_0": {"address": "tcp://127.0.0.1:15696"},
+        "zeromq_pull_source_0": {"address": "tcp://127.0.0.1:15696"},
+        "zeromq_rep_sink_0": {"address": "tcp://127.0.0.1:15697"},
+        "zeromq_req_source_0": {"address": "tcp://127.0.0.1:15697"}},
+}
+
+
+# network examples need a live socket peer (same as running the
+# reference pair: one half per .grc file) — spawn the matching
+# transport-framed peer in a thread
+def _peer_drain_server(addr, port):
+    from gnuradio_tpu.parallel import transport as T
+    srv = T.StreamServer(addr, port)
+
+    def run():
+        try:
+            srv._ensure()
+            while srv._conn.recv(65536):
+                pass
+        except OSError:
+            pass
+    return srv, run
+
+
+def _peer_drain_client(addr, port):
+    from gnuradio_tpu.parallel import transport as T
+
+    def run():
+        try:
+            cli = T.StreamClient(addr, port, timeout=20.0)
+            while cli.recv_frame() not in (None,):
+                pass
+        except OSError:
+            pass
+    return None, run
+
+
+def _peer_send_server(addr, port):
+    from gnuradio_tpu.parallel import transport as T
+    srv = T.StreamServer(addr, port)
+
+    def run():
+        try:
+            data = np.zeros(1 << 16, np.complex64)
+            for k in range(64):
+                srv.send_items(data, k * data.size)
+        except OSError:
+            pass
+    return srv, run
+
+
+def _peer_send_client(addr, port):
+    from gnuradio_tpu.parallel import transport as T
+
+    def run():
+        try:
+            cli = T.StreamClient(addr, port, timeout=20.0)
+            data = np.zeros(1 << 16, np.complex64)
+            for k in range(64):
+                cli.send_items(data, k * data.size)
+        except OSError:
+            pass
+    return None, run
+
+
+EXAMPLE_PEERS = {
+    "gr-network/examples/test_tcp_sink_client.grc":
+        lambda: _peer_drain_server("127.0.0.1", 2000),
+    "gr-network/examples/test_tcp_sink_client_ipv6.grc":
+        lambda: _peer_drain_server("::1", 2000),
+    "gr-network/examples/test_tcp_sink_server.grc":
+        lambda: _peer_drain_client("127.0.0.1", 2000),
+    "gr-network/examples/test_tcp_source.grc":
+        lambda: _peer_send_server("127.0.0.1", 2000),
+    "gr-network/examples/test_tcp_source_client.grc":
+        lambda: _peer_send_server("127.0.0.1", 2000),
+    "gr-network/examples/test_tcp_source_ipv6.grc":
+        lambda: _peer_send_client("::1", 2000),
+}
+
+
 @pytest.mark.parametrize("path", EXAMPLES)
 def test_reference_example_runs(path, tmp_path):
-    tb, blocks = load_reference_grc(
-        REF + path, overrides=_auto_file_overrides(path, str(tmp_path)))
-    assert len(blocks) >= 2
+    import threading
+    ov = _auto_file_overrides(path, str(tmp_path))
+    for bid, pp in EXAMPLE_OVERRIDES.get(path, {}).items():
+        ov.setdefault(bid, {}).update(pp)
+    peer_thread = None
+    peer = EXAMPLE_PEERS.get(path)
+    if peer is not None:
+        _, runner = peer()
+        peer_thread = threading.Thread(target=runner, daemon=True)
+        peer_thread.start()
+    tb, blocks = load_reference_grc(REF + path, overrides=ov)
+    # the GRC default template graph is options+variable only
+    assert len(blocks) >= 2 or path.endswith("default_flow_graph.grc")
     tb.run(n_steps=1)
 
 
