@@ -112,6 +112,19 @@ class StreamServer:
         with self._lock:
             self._conn.sendall(frame)
 
+    def send_gr_message_frame(self, arr: np.ndarray, offset: int, tags=()):
+        """codec='gr': the frame body is EXACTLY what a reference
+        gr-zeromq stream block puts in one ZMQ message —
+        tag_headers.cc header followed by raw samples (core/pmt_wire).
+        The carrier here is this module's length-prefixed TCP instead of
+        ZMTP; the payload bytes are bit-identical."""
+        from ..core import pmt_wire
+        self._ensure()
+        a = np.ascontiguousarray(arr)
+        body = pmt_wire.gen_tag_header(offset, list(tags)) + a.tobytes()
+        with self._lock:
+            self._conn.sendall(struct.pack("<I", len(body)) + body)
+
     def close(self):
         for s in (self._conn, self._lsock):
             if s is not None:
@@ -246,6 +259,35 @@ class StreamClient:
         if fr is None:
             return None
         return pmt.deserialize(fr[5])
+
+    def recv_gr_message_frame(self, dtype):
+        """codec='gr' counterpart of send_gr_message_frame: one
+        length-prefixed body = tag header + raw samples. Returns
+        (samples, stream_offset, [Tag...]) or None on EOF."""
+        from ..core import pmt_wire
+        self._ensure()
+        while True:
+            fr = self._pop_gr_body()
+            if fr is not None:
+                body = fr
+                break
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                return None
+            self._rxbuf += chunk
+        offset, tags, pos = pmt_wire.parse_tag_header(body)
+        arr = np.frombuffer(body[pos:], dtype=np.dtype(dtype))
+        return arr, offset, tags
+
+    def _pop_gr_body(self):
+        if len(self._rxbuf) < 4:
+            return None
+        (n,) = struct.unpack("<I", bytes(self._rxbuf[:4]))
+        if len(self._rxbuf) < 4 + n:
+            return None
+        body = bytes(self._rxbuf[4:4 + n])
+        del self._rxbuf[:4 + n]
+        return body
 
     def close(self):
         if self._sock is not None:
