@@ -129,6 +129,122 @@ def add(block_name: str, module_dir: str, kind: str = "sync") -> str:
     return qa
 
 
+def _block_span(tree, src_lines, block_name: str):
+    """(start, end) line span of a block's class + factory + the template
+    comment banner above it, for rm/rename/disable surgery."""
+    import ast
+    cls = "".join(w.capitalize() for w in block_name.split("_"))
+    spans = []
+    for n in tree.body:
+        if (isinstance(n, ast.ClassDef) and n.name == cls) or (
+                isinstance(n, ast.FunctionDef) and n.name == block_name):
+            start = n.lineno - 1
+            # swallow the blank/comment lines directly above
+            while start > 0 and (src_lines[start - 1].strip() == ""
+                                 or src_lines[start - 1].lstrip()
+                                 .startswith("#")):
+                start -= 1
+            spans.append((start, n.end_lineno))
+    return spans
+
+
+def rm(block_name: str, module_dir: str) -> list:
+    """Remove a block (class, factory, QA file) from an OOT module
+    (gr-utils/modtool/core/rm.py analog)."""
+    import ast
+    blocks_py = os.path.join(module_dir, "blocks.py")
+    src = open(blocks_py).read()
+    lines = src.splitlines()
+    spans = _block_span(ast.parse(src), lines, block_name)
+    removed = []
+    keep = set(range(len(lines)))
+    for s, e in spans:
+        keep -= set(range(s, e))
+        removed.append(f"blocks.py:{s + 1}-{e}")
+    with open(blocks_py, "w") as f:
+        f.write("\n".join(lines[i] for i in sorted(keep)) + "\n")
+    qa = os.path.join(module_dir, "tests", f"qa_{block_name}.py")
+    if os.path.exists(qa):
+        os.remove(qa)
+        removed.append(qa)
+    return removed
+
+
+def rename(old_name: str, new_name: str, module_dir: str) -> list:
+    """Rename a block across blocks.py + its QA file (modtool rename)."""
+    import re
+    old_cls = "".join(w.capitalize() for w in old_name.split("_"))
+    new_cls = "".join(w.capitalize() for w in new_name.split("_"))
+    changed = []
+    blocks_py = os.path.join(module_dir, "blocks.py")
+    src = open(blocks_py).read()
+    out = re.sub(rf"\b{re.escape(old_cls)}\b", new_cls, src)
+    out = re.sub(rf"\b{re.escape(old_name)}\b", new_name, out)
+    if out != src:
+        open(blocks_py, "w").write(out)
+        changed.append(blocks_py)
+    qa_old = os.path.join(module_dir, "tests", f"qa_{old_name}.py")
+    qa_new = os.path.join(module_dir, "tests", f"qa_{new_name}.py")
+    if os.path.exists(qa_old):
+        qsrc = open(qa_old).read()
+        qsrc = re.sub(rf"\b{re.escape(old_name)}\b", new_name, qsrc)
+        qsrc = re.sub(rf"\b{re.escape(old_cls)}\b", new_cls, qsrc)
+        open(qa_new, "w").write(qsrc)
+        os.remove(qa_old)
+        changed.append(qa_new)
+    return changed
+
+
+def disable(block_name: str, module_dir: str) -> list:
+    """Comment a block out of blocks.py without deleting it
+    (modtool disable)."""
+    import ast
+    blocks_py = os.path.join(module_dir, "blocks.py")
+    src = open(blocks_py).read()
+    lines = src.splitlines()
+    spans = _block_span(ast.parse(src), lines, block_name)
+    touched = []
+    for s, e in spans:
+        for i in range(s, e):
+            if lines[i].strip():
+                lines[i] = "# [disabled] " + lines[i]
+        touched.append(f"blocks.py:{s + 1}-{e}")
+    open(blocks_py, "w").write("\n".join(lines) + "\n")
+    return touched
+
+
+def update(module_dir: str) -> dict:
+    """Refresh the module's GRC descriptor file from the current
+    blocks.py contents (modtool update analog: regenerate metadata)."""
+    import yaml
+    meta = info(module_dir)
+    entries = []
+    for fac in meta["factories"]:
+        try:
+            entries.append(describe_block_path(module_dir, fac))
+        except Exception:
+            entries.append({"id": fac})
+    path = os.path.join(module_dir, "grc_blocks.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump({"blocks": entries}, f, sort_keys=False)
+    return {"path": path, "blocks": [e.get("id", "?") for e in entries]}
+
+
+def describe_block_path(module_dir: str, factory: str) -> dict:
+    """describe_block for a factory inside an OOT module directory."""
+    import importlib.util
+    import sys
+    pkg = os.path.basename(os.path.normpath(module_dir))
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg}.blocks", os.path.join(module_dir, "blocks.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    d = describe_block(getattr(mod, factory))
+    d.setdefault("id", factory)
+    return d
+
+
 def info(module_dir: str) -> dict:
     """List the blocks defined in an OOT module (modtool info)."""
     import ast
@@ -213,6 +329,18 @@ def main(argv=None):
     p.add_argument("--module", required=True)
     p = sub.add_parser("makeyaml")
     p.add_argument("target")
+    p = sub.add_parser("rm")
+    p.add_argument("block_name")
+    p.add_argument("--module", required=True)
+    p = sub.add_parser("rename")
+    p.add_argument("old_name")
+    p.add_argument("new_name")
+    p.add_argument("--module", required=True)
+    p = sub.add_parser("disable")
+    p.add_argument("block_name")
+    p.add_argument("--module", required=True)
+    p = sub.add_parser("update")
+    p.add_argument("--module", required=True)
     args = ap.parse_args(argv)
     if args.cmd == "newmod":
         print(newmod(args.name, args.dir))
@@ -222,6 +350,15 @@ def main(argv=None):
         print(json.dumps(info(args.module), indent=2))
     elif args.cmd == "makeyaml":
         print(makeyaml(args.target))
+    elif args.cmd == "rm":
+        print(json.dumps(rm(args.block_name, args.module)))
+    elif args.cmd == "rename":
+        print(json.dumps(rename(args.old_name, args.new_name,
+                                args.module)))
+    elif args.cmd == "disable":
+        print(json.dumps(disable(args.block_name, args.module)))
+    elif args.cmd == "update":
+        print(json.dumps(update(args.module), indent=2))
 
 
 if __name__ == "__main__":

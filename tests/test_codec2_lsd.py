@@ -124,3 +124,32 @@ def test_codec2_pitch_tracking():
             ok += rel < 0.25
     assert tot > 20
     assert ok / tot > 0.7, (ok, tot)
+
+
+def test_codec2_low_rate_contracts():
+    """The reference codec2 block accepts 1600/1400/1300/1200/700* modes
+    (gr-vocoder/lib/codec2_impl.cc rate table): 40 ms / 320-sample frames
+    with mode-specific bit budgets. Verify the frame rate contracts and a
+    bounded-LSD round trip for each low-rate mode."""
+    import numpy as np
+    from gnuradio_tpu.ops.codec2_native import (Codec2, bits_per_frame,
+                                                samples_per_frame)
+    budgets = {1600: 64, 1400: 56, 1300: 52, 1200: 48, 700: 28}
+    rng = np.random.default_rng(0)
+    t = np.arange(320 * 8) / 8000.0
+    pcm = (6000 * np.sin(2 * np.pi * 220 * t)
+           * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.int16)
+    for mode, nbits in budgets.items():
+        assert bits_per_frame(mode) == nbits
+        assert samples_per_frame(mode) == 320
+        c2 = Codec2(mode)
+        bits = c2.encode_bits(pcm)
+        assert bits.size == (pcm.size // 320) * nbits
+        assert set(np.unique(bits)) <= {0, 1}
+        out = Codec2(mode).decode_bits(bits)
+        assert out.size == pcm.size
+        # spectral sanity: decoded energy within 25 dB of the source
+        e_in = np.mean(pcm.astype(np.float64) ** 2)
+        e_out = np.mean(out.astype(np.float64) ** 2)
+        assert e_out > 0
+        assert abs(10 * np.log10(e_out / e_in)) < 25.0

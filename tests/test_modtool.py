@@ -52,3 +52,34 @@ def test_modtool_cli(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert out.returncode == 0, out.stderr
     assert (tmp_path / "gr_cli" / "blocks.py").exists()
+
+
+def test_modtool_rm_rename_disable_update(tmp_path):
+    """modtool rm / rename / disable / update
+    (gr-utils/modtool/core/{rm,rename,disable,update}.py analogs)."""
+    from gnuradio_tpu import modtool as M
+    root = M.newmod("lifecycle", str(tmp_path))
+    M.add("alpha_blk", root)
+    M.add("beta_blk", root)
+    meta = M.info(root)
+    assert "alpha_blk" in meta["factories"]
+    # rename alpha -> gamma
+    changed = M.rename("alpha_blk", "gamma_blk", root)
+    assert changed
+    meta = M.info(root)
+    assert "gamma_blk" in meta["factories"]
+    assert "alpha_blk" not in meta["factories"]
+    import os
+    assert os.path.exists(os.path.join(root, "tests", "qa_gamma_blk.py"))
+    # rm beta
+    removed = M.rm("beta_blk", root)
+    assert removed
+    meta = M.info(root)
+    assert "beta_blk" not in meta["factories"]
+    # disable gamma: module still parses, factory commented out
+    M.disable("gamma_blk", root)
+    meta = M.info(root)
+    assert "gamma_blk" not in meta["factories"]
+    # update regenerates the descriptor file from what's left
+    res = M.update(root)
+    assert os.path.exists(res["path"])
