@@ -1,0 +1,74 @@
+"""HBM bandwidth microbenchmark (VERDICT r04 item 4): determine whether
+the 266 GB/s 'measured peak' the roofline labels rested on is the axon
+backend's true ceiling or a measurement artifact vs the v5e datasheet's
+819 GB/s.
+
+Method: pure streaming kernels at increasing working sets —
+  copy    y = x + 0            (R+W: 2x bytes)
+  scale   y = 1.0001*x         (R+W: 2x)
+  triad   y = a + 1.0001*b     (2R+W: 3x)
+  sum     s = sum(x)           (R: 1x, reduction)
+across float32 sizes 2^20..2^27 elements, each timed with the tiny-fetch
+sync barrier (bench_util.sync — block_until_ready returns early on axon).
+GB/s uses the kernel's true bytes moved. The peak over all kernels/sizes
+is the achievable HBM rate for XLA-generated streaming loops; the
+datasheet gap, if it persists across kernels and sizes, is the
+dispatch/DMA path, not cache effects.
+
+Run (alone, no concurrent python): python benchmarks/hbm_peak.py
+Writes HBM_PEAK_r05.json.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.bench_util import setup_cache, time_fn_carry
+    setup_cache()
+
+    kernels = {
+        "copy": (lambda s, x: (s, x + 0.0), 2),
+        "scale": (lambda s, x: (s, x * 1.0001), 2),
+        "triad": (lambda s, x: (s, x + 1.0001 * (x + 1.0)), 3),
+        "sum": (lambda s, x: (s, jnp.sum(x)[None]), 1),
+    }
+    out = {"method": __doc__.split("Method:")[1].split("Run (")[0].strip(),
+           "rows": []}
+    best = 0.0
+    for log2n in range(20, 28):
+        n = 1 << log2n
+        x = jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (n,), dtype="float32"))()
+        for name, (fn, mult) in kernels.items():
+            run = jax.jit(fn)
+            st = jnp.zeros(())
+            try:
+                dt = time_fn_carry(run, st, x, iters=20)
+            except Exception as e:
+                out["rows"].append({"kernel": name, "n": n,
+                                    "error": repr(e)[:120]})
+                continue
+            gbs = mult * 4 * n / dt / 1e9
+            best = max(best, gbs)
+            row = {"kernel": name, "n": n, "mib": round(4 * n / 2**20, 1),
+                   "time_us": round(dt * 1e6, 1), "gbs": round(gbs, 1)}
+            out["rows"].append(row)
+            print(json.dumps(row), flush=True)
+    out["peak_gbs"] = round(best, 1)
+    out["datasheet_gbs"] = 819.0
+    out["verdict"] = (
+        "achieved/datasheet = %.0f%%" % (100 * best / 819.0))
+    with open("/root/repo/HBM_PEAK_r05.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("peak", best, "GB/s; wrote HBM_PEAK_r05.json")
+
+
+if __name__ == "__main__":
+    main()
