@@ -37,7 +37,7 @@ import numpy as np
 
 CPU_OUT = "/tmp/scaling_cpu.json"
 TPU_OUT = "/tmp/scaling_tpu.json"
-FINAL = "/root/repo/SCALING_r02.json"
+FINAL = "/root/repo/SCALING_r05.json"
 W_ICI = 45e9  # bytes/s one-way per v5e ICI link
 
 
@@ -118,6 +118,8 @@ def run_cpu():
         mesh = make_mesh(n_time=D)
         init_s, step_s, specs = make_wfm_sharded(mesh, fs, qr, ar,
                                                  center_freq=25e3)
+        # (comm accounting below covers BOTH sharded forms: the fused
+        # variant exchanges the same history halos + IIR closure)
         st = jax.jit(init_s)()
         got = []
         for k in range(3):
@@ -224,17 +226,17 @@ def run_tpu():
                          "CPU (BASELINE.md)"})
     print(rows[-1], flush=True)
 
-    # WBFM single chip (D=1 column of the time-sharded workload)
-    from gnuradio_tpu.models.wfm import make_wfm_step
-    init_w, step_w, mult = make_wfm_step(1e6, 250e3, 50e3)
+    # WBFM single chip (D=1 column of the time-sharded workload) — the
+    # FUSED Pallas front end, the same kernel the sharded step runs
+    # (models/wfm_sharded.make_wfm_sharded_fused; VERDICT r04 weak #6)
+    from gnuradio_tpu.models.wfm import make_wfm_step_fused
+    init_w, step_w, mult = make_wfm_step_fused(1e6, 250e3, 50e3, R=256,
+                                               layout="planes",
+                                               stage2="split")
     nw = 1 << 24
-
-    @jax.jit
-    def runw(state, iq):
-        return step_w(state, lax.complex(iq[:, 0], iq[:, 1]))
-
+    runw = jax.jit(step_w)
     iq = jax.jit(lambda: 0.5 * jax.random.normal(
-        jax.random.PRNGKey(1), (nw, 2), jnp.float32))()
+        jax.random.PRNGKey(1), (2, nw), jnp.float32))()
     stw = jax.jit(init_w)()
     dtw = time_fn_carry(runw, stw, iq, iters=10)
     rows.append({"workload": "wbfm_time_sharded", "shards": 1,
