@@ -189,13 +189,16 @@ def test_filter_delay_matches_hilbert_pair():
 
 
 def test_ival_decimator():
-    x = np.arange(40, dtype=np.int16).reshape(20, 2)
-    src = blk.StreamSource(x, PortSpec(S, 2))
-    snk = blk.VectorSink(PortSpec(S, 2))
+    # flat interleaved I/Q short stream (the reference block's plain
+    # char/short ports): keep the first pair of every D pairs
+    x = np.arange(40, dtype=np.int16)
+    src = blk.StreamSource(x, PortSpec(S))
+    snk = blk.VectorSink(PortSpec(S))
     tb = TopBlock()
     tb.connect(src, fx.ival_decimator(4), snk)
     tb.run()
-    np.testing.assert_array_equal(snk.data(), x[::4])
+    np.testing.assert_array_equal(snk.data(),
+                                  x.reshape(-1, 8)[:, :2].reshape(-1))
 
 
 def test_freq_xlating_fft_filter_matches_fir_version():
