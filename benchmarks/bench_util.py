@@ -4,7 +4,14 @@ Roofline numbers for the attached chip (TPU v5 lite / v5e), two sources:
   * datasheet: 197 TFLOPS bf16 / ~98 TFLOPS fp32-equivalent MXU, 819 GB/s HBM
   * measured on THIS chip through the axon tunnel (benchmarks run 2026-08):
       - 4096^3 f32 matmul (HIGHEST precision): 93.4 TFLOPS
-      - 1 GiB/iter elementwise copy chain:     ~266 GB/s effective
+      - r5 hbm_peak.py sweep (copy/scale/triad/sum over 4 MiB..1 GiB):
+        best whole-kernel rate 360 GB/s at 1 GiB working sets; the
+        MARGINAL rate between the 512 MiB and 1 GiB points is ~450 GB/s
+        (copy) / ~400 GB/s (triad) — the ~1.7-3 ms dispatch+sync floor
+        eats the difference. The r3 figure of 266 GB/s came from smaller
+        working sets where the floor dominates; 360 is the honest
+        achievable ceiling for roofline 'bound' labels on this tunnel,
+        and the 819 GB/s datasheet rate is unreachable through it.
 The measured numbers are the honest per-dispatch ceilings for this
 deployment (tunnel sync + dispatch overheads included) and are what MFU /
 roofline percentages below are computed against; datasheet values are also
@@ -23,7 +30,8 @@ CHIP = {
     "kind": "TPU v5 lite (v5e)",
     "peak_f32_matmul_tflops_measured": 93.4,
     "peak_bf16_matmul_tflops_datasheet": 197.0,
-    "hbm_gbps_measured": 266.0,
+    "hbm_gbps_measured": 360.0,   # HBM_PEAK_r05: 1 GiB streaming kernels
+    "hbm_gbps_marginal": 450.0,   # floor-corrected marginal rate (see below)
     "hbm_gbps_datasheet": 819.0,
 }
 
