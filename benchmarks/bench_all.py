@@ -243,39 +243,25 @@ def bench_topblock_wbfm():
     return r
 
 
-def main():
-    setup_cache()
-    results = []
-    for fn in (bench_wbfm, bench_channelizer, bench_qpsk_feedforward,
-               bench_qpsk_tracking_legacy, bench_qpsk_tracking_blockparallel,
-               bench_qpsk_tracking_1024ch, bench_ofdm_loopback,
-               bench_dvbt_tx, bench_topblock_wbfm,
-               lambda: bench_dvbt_rx("2k"), lambda: bench_dvbt_rx("8k"),
-               bench_atsc_rx, bench_dvbt2_tx):
-        try:
-            r = fn()
-        except Exception as e:
-            r = {"name": fn.__name__, "error": repr(e)[:300]}
-        print(json.dumps(r), flush=True)
-        results.append(r)
-    with open(OUT, "w") as f:
-        json.dump({"chip": CHIP, "configs": results}, f, indent=1)
-    print("wrote", OUT)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def bench_dvbt_rx(mode="8k"):
-    """DVB-T receive through acquisition, CFO, equalization, TPS sync,
-    demap, Viterbi and RS (VERDICT r04 item 3: the r4 RX front end had no
-    perf row). Rate counted on INPUT baseband samples."""
+    """DVB-T receive as the dvbt_rx_8k.grc STREAMING block chain compiled
+    into one step (acquisition -> FFT -> chanest/demod -> demap ->
+    deinterleavers -> Viterbi -> RS -> descramble), device-resident
+    source/sink through TopBlock (VERDICT r04 item 3). The chunk-level
+    arbitrary-offset path (ops/dtv_rx.dvbt_rx) stays the QA reference; it
+    is host-orchestrated (data-dependent alignment decisions) and on this
+    tunnel would measure the ~2.2 ms dispatch floor, not the DSP."""
     import jax
     import jax.numpy as jnp
+    from gnuradio_tpu.core.runtime import TopBlock
     from gnuradio_tpu.ops.dtv import (DVBTConfig, DVBTPilots, dvbt_tx,
                                       dvbt_tx_bytes_per_superframe)
-    from gnuradio_tpu.ops.dtv_rx import dvbt_rx
+    from gnuradio_tpu.ops import dtv_blocks as DB
+    from gnuradio_tpu.ops.fft import fft_vcc
+    from gnuradio_tpu.ops.blocks import (device_cycle_source, null_sink,
+                                         vector_to_stream)
+    from gnuradio_tpu.core.stream import B
+
     cfg = DVBTConfig("16qam", "1/2", mode, "1/32")
     pil = DVBTPilots(cfg)
     nb1 = dvbt_tx_bytes_per_superframe(cfg)
@@ -283,20 +269,44 @@ def bench_dvbt_rx(mode="8k"):
     nb = nb1 * k
     rng = np.random.default_rng(0)
     ts = rng.integers(0, 256, nb).astype(np.uint8)
-    import jax.numpy as jnp
-    tx = jax.jit(lambda b: dvbt_tx(b, cfg, pil))(
-        jnp.asarray(ts.view(np.int8)))
-    n_in = int(tx.shape[0])
+    # fetch as f32 planes (complex64 device->host is unimplemented on the
+    # axon tunnel) and rebuild on host
+    planes = np.asarray(jax.jit(
+        lambda b: (lambda y: jnp.stack([y.real, y.imag]))(
+            dvbt_tx(b, cfg, pil)))(jnp.asarray(ts.view(np.int8))))
+    tx = (planes[0] + 1j * planes[1]).astype(np.complex64)
 
-    @jax.jit
-    def run(state, x):
-        return state, dvbt_rx(x, cfg, nbytes=nb, pilots=pil)
-
-    st = jnp.zeros(())
-    dt = time_fn_carry(run, st, tx, iters=5)
+    src = device_cycle_source(tx)
+    from gnuradio_tpu.ops.blocks import stream_to_vector
+    chain = [
+        DB.DvbtOfdmSymAcquisition(cfg),
+        stream_to_vector(cfg.fft_length),
+        fft_vcc(cfg.fft_length, forward=True, shift=True),
+        vector_to_stream(cfg.fft_length),
+        DB.DvbtDemodReferenceSignals(cfg),
+        DB.DvbtDemap(cfg),
+        DB.DvbtSymbolInnerInterleaver(cfg, direction=0),
+        DB.DvbtBitInnerDeinterleaver(cfg),
+        DB.DvbtViterbiDecoder(cfg),
+        DB.DvbtConvolutionalDeinterleaver(),
+        DB.DvbtReedSolomonDec(),
+        DB.DvbtEnergyDescramble(),
+    ]
+    snk = null_sink(B)
+    tb = TopBlock(chunk_mult=None, target_items=len(tx))
+    tb.connect(src, *chain, snk)
+    cg = tb.compile()
+    n_in = cg.n_out[src][0]
+    tb.run(n_steps=2)
+    sync(tb.state)
+    steps = 10
+    t0 = time.time()
+    tb.run(n_steps=steps)
+    sync(tb.state)
+    dt = (time.time() - t0) / steps
     msps = n_in / dt / 1e6
-    return roofline_report(f"dvbt_rx({mode},16qam,1/2)", msps, 180.0, 8.0,
-                           xla_bytes_accessed(run, st, tx), n_in)
+    return roofline_report(f"dvbt_rx({mode},16qam,1/2,streaming)", msps,
+                           180.0, 8.0, None, n_in)
 
 
 def bench_atsc_rx():
@@ -366,3 +376,28 @@ def bench_dvbt2_tx():
     msps = n_out / dt / 1e6
     return roofline_report("dvbt2_tx(4k,64qam,2/3)", msps, 90.0, 12.0,
                            xla_bytes_accessed(run, st, dev), n_out)
+
+
+
+def main():
+    setup_cache()
+    results = []
+    for fn in (bench_wbfm, bench_channelizer, bench_qpsk_feedforward,
+               bench_qpsk_tracking_legacy, bench_qpsk_tracking_blockparallel,
+               bench_qpsk_tracking_1024ch, bench_ofdm_loopback,
+               bench_dvbt_tx, bench_topblock_wbfm,
+               lambda: bench_dvbt_rx("2k"), lambda: bench_dvbt_rx("8k"),
+               bench_atsc_rx, bench_dvbt2_tx):
+        try:
+            r = fn()
+        except Exception as e:
+            r = {"name": fn.__name__, "error": repr(e)[:300]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    with open(OUT, "w") as f:
+        json.dump({"chip": CHIP, "configs": results}, f, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -263,12 +263,14 @@ def inner_code_bits(bits, code_rate: str):
 
 def inner_decode_bits(soft, code_rate: str, nbits: int):
     """Punctured soft bits (bipolar, +1 = bit 0) -> decoded bits [nbits].
-    Depuncture with 0.0 erasures then Viterbi (free end state)."""
+    Depuncture with 0.0 erasures then Viterbi (free end state), decoded
+    block-parallel (fec.cc_decode_blockparallel) — the sequential
+    reference loop would serialize millions of scan steps on TPU."""
     pat = _PUNCTURE[code_rate]
     full = fec.depuncture(soft, len(pat),
                           int("".join(map(str, pat)), 2), sym=0.0)
-    return fec.cc_decode(full, nbits, 7, 2, [_G1, _G2],
-                         mode=fec.CC_STREAMING, start_state=0)
+    return fec.cc_decode_blockparallel(full, nbits, 7, 2, [_G1, _G2],
+                                       start_state=0)
 
 
 def bytes_to_bits(x):
