@@ -266,7 +266,7 @@ def bench_dvbt_rx(mode="8k"):
     pil = DVBTPilots(cfg)
     nb1 = dvbt_tx_bytes_per_superframe(cfg)
     k = next(k for k in range(1, 9) if (k * nb1) % 1504 == 0)
-    nb = nb1 * k
+    nb = nb1 * k * 4          # 4 superframe groups/step amortize overheads
     rng = np.random.default_rng(0)
     ts = rng.integers(0, 256, nb).astype(np.uint8)
     # fetch as f32 planes (complex64 device->host is unimplemented on the

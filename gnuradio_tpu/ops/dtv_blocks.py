@@ -380,8 +380,10 @@ class DvbtDemodReferenceSignals(Block):
         r = np.arange(nsym)
         tot = jnp.stack([jnp.sum(sc[r, (r + a) % 4]) for a in range(4)])
         mod4 = jnp.argmax(tot)
-        sm = (jnp.arange(nsym) + mod4) % 4
-        H = self.est.estimate(carriers, sm)
+        if nsym % 4 == 0:
+            H = self.est.estimate_mod4(carriers, mod4)
+        else:
+            H = self.est.estimate(carriers, (jnp.arange(nsym) + mod4) % 4)
         eq = carriers * jnp.conj(H) / jnp.maximum(jnp.abs(H) ** 2, 1e-12)
         # TPS correlation alignment verification (traced; 68 shifts on the
         # detected mod-4 grid)

@@ -154,7 +154,7 @@ def cc_decode(soft, frame_size: int, k: int, rate: int, polys,
 
 
 def cc_decode_blockparallel(soft, frame_size: int, k: int, rate: int,
-                            polys, block: int = 8192, overlap: int = 192,
+                            polys, block: int = 1024, overlap: int = 128,
                             start_state: int = 0):
     """Streaming Viterbi decoded as OVERLAPPED BLOCKS in parallel.
 
@@ -541,6 +541,39 @@ class ReedSolomon:
         return jnp.concatenate([data, parity], axis=-1)
 
     # ---- decode ----
+    def _bitlin(self, name, M_log, M_nz):
+        """Constant GF matrix out[..., J] = sum_K M[J,K]*v[K] lowered to a
+        GF(2) bit-matmul: multiplying by a CONSTANT GF(2^8) element is
+        linear over the operand's bits, so the whole polynomial evaluation
+        becomes one [K*8, J*8] f32 matmul on the MXU instead of ~J*K
+        exp/log table gathers (the gathers measured ~60 ms per DVB
+        superframe on TPU; the matmul is noise)."""
+        key = "_BL_" + name
+        B = getattr(self, key, None)
+        if B is None:
+            A = (self.gf.exp_np[np.asarray(M_log)]
+                 * np.asarray(M_nz)).astype(np.int64)     # [J, K]
+            J, K = A.shape
+            B = np.zeros((K * 8, J * 8), np.float32)
+            for k_i in range(K):
+                col = A[:, k_i]                           # [J]
+                for b in range(8):
+                    prod = self.gf.mul_np(col, 1 << b)    # [J]
+                    bits = ((prod[:, None] >> np.arange(8)) & 1)
+                    B[k_i * 8 + b] = bits.reshape(-1)
+            setattr(self, key, B)
+        return B
+
+    def _apply_bitlin(self, v, name, M_log, M_nz):
+        B = self._bitlin(name, M_log, M_nz)
+        K8, J8 = B.shape
+        bits = ((v[..., None] >> jnp.arange(8)) & 1).reshape(
+            v.shape[:-1] + (K8,)).astype(jnp.float32)
+        ob = jnp.dot(bits, jnp.asarray(B),
+                     precision=jax.lax.Precision.HIGHEST)
+        ob = (ob.astype(jnp.int32) & 1).reshape(v.shape[:-1] + (J8 // 8, 8))
+        return jnp.sum(ob << jnp.arange(8), axis=-1)
+
     def decode(self, rx):
         """rx: [..., n] -> (corrected [..., k], n_errors detected flag).
         Corrects up to t symbol errors per codeword."""
@@ -551,7 +584,7 @@ class ReedSolomon:
             full = jnp.concatenate([pad, rx], axis=-1)    # [..., 255]
         else:
             full = rx
-        S = gf.matvec(self.S_log, self.S_nz, full)        # [..., 2t]
+        S = self._apply_bitlin(full, "S", self.S_log, self.S_nz)
         batch = S.shape[:-1]
 
         # Berlekamp-Massey, unrolled 2t iterations, arrays deg <= t
@@ -587,14 +620,14 @@ class ReedSolomon:
             Om = Om.at[..., j].set(acc)
 
         # Chien: V[p] = Lam(X_p^{-1}) over all 255 positions
-        V = gf.matvec(self.C_log, self.C_nz, Lam)         # [..., 255]
+        V = self._apply_bitlin(Lam, "C", self.C_log, self.C_nz)
         err_here = (V == 0)
         # Lambda'(x): odd-degree terms only -> Lam'[j] = Lam[j+1] for even j
         Lp = jnp.zeros(batch + (t + 1,), jnp.int32)
         for j in range(1, t + 1, 2):
             Lp = Lp.at[..., j - 1].set(Lam[..., j])
-        Lp_val = gf.matvec(self.C_log, self.C_nz, Lp)     # [..., 255]
-        Om_val = gf.matvec(self.O_log, self.O_nz, Om)     # [..., 255]
+        Lp_val = self._apply_bitlin(Lp, "C", self.C_log, self.C_nz)
+        Om_val = self._apply_bitlin(Om, "O", self.O_log, self.O_nz)
         # Forney (fcr-general): e_p = X_p^{1-fcr} * Om(X^{-1}) / Lam'(X^{-1})
         Xp = self.Xpos  # [255]
         x_pow = gf.exp[(self.gf.log[Xp] * ((1 - self.fcr) % 255)) % 255]
