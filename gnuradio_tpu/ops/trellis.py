@@ -228,22 +228,35 @@ def viterbi_path(fsm: FSM, metrics, S0: int = 0, SK: int = -1):
     PRED_OS = jnp.asarray(fsm.PRED_OS)
     PMASK = jnp.asarray(fsm.PMASK)
 
+    # Survivor (input, prev_state) pairs are packed per (k, state) INSIDE
+    # the ACS step as a P-way select over the precomputed [S, P] table —
+    # avoiding a huge post-hoc [K, S]-indexed gather from PI/PS which
+    # measured ~50x the cost of the whole ACS on TPU (gathers with large
+    # index arrays from tiny tables lower badly there; selects vectorize).
+    PACK = (PI << 16) | PS                             # [S, P] int32
+
     def acs(alpha, m):
         cand = alpha[PS] + m[PRED_OS] + PMASK          # [S, P]
         minmi = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        prange = jax.lax.broadcasted_iota(jnp.int32, PACK.shape, 1)
+        pk = jnp.sum(jnp.where(prange == minmi[:, None], PACK, 0), axis=1)
         minm = jnp.min(cand, axis=1)
         minm = minm - jnp.min(minm)                    # per-step normalization
-        return minm, minmi
+        return minm, pk
 
-    alpha_k, trace = jax.lax.scan(acs, _alpha0(fsm, S0), metrics)  # trace [K,S]
+    alpha_k, packed = jax.lax.scan(acs, _alpha0(fsm, S0), metrics)  # [K,S]
 
     st0 = jnp.argmin(alpha_k).astype(jnp.int32) if SK < 0 else jnp.int32(SK)
 
-    def tb(st, tr_k):
-        p = tr_k[st]
-        return PS[st, p], PI[st, p]
+    # Traceback: sequential by nature, but the body is a single tiny
+    # gather per step. (A log-depth associative composition of survivor
+    # maps and a grouped-unroll variant were both tried and measured
+    # 10-100x SLOWER than this scan on TPU.)
+    def tb(st, pk):
+        v = pk[st]
+        return v & 0xFFFF, v >> 16
 
-    _, out = jax.lax.scan(tb, st0, trace, reverse=True)
+    _, out = jax.lax.scan(tb, st0, packed, reverse=True)
     return out.astype(jnp.int32)
 
 
