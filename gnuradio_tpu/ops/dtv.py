@@ -424,12 +424,25 @@ def _perm_apply_matmul(x, perm_even, perm_odd, start_symbol):
     out[s, c] = x[s, perm_s[c]]  <=>  out = x @ M with M[q, c] = 1 iff
     perm_s[c] == q. f32 one-hot carries int symbol values <= 64 exactly."""
     N = x.shape[-1]
+    nsym = x.shape[-2]
+    if N > 2048 and nsym % 2 == 0:
+        # 8k mode: the one-hot pair (2 x 6048^2 f32 = 292 MB of constants)
+        # dominates the compiled program and overflows the remote-compile
+        # body limit; two STATIC minor-axis gathers on the parity-grouped
+        # reshape carry the same permutation with 24 KB index constants
+        # (measured at-par with the matmul at this size — both sit on the
+        # dispatch floor).
+        par = start_symbol % 2
+        perms = (perm_even, perm_odd) if par == 0 else (perm_odd, perm_even)
+        xf = x.reshape(x.shape[:-2] + (nsym // 2, 2, N))
+        ya = xf[..., 0, :][..., jnp.asarray(perms[0], jnp.int32)]
+        yb = xf[..., 1, :][..., jnp.asarray(perms[1], jnp.int32)]
+        return jnp.stack([ya, yb], axis=-2).reshape(x.shape)
     Ms = []
     for perm in (perm_even, perm_odd):
         M = np.zeros((N, N), np.float32)
         M[perm, np.arange(N)] = 1.0
         Ms.append(M)
-    nsym = x.shape[-2]
     if nsym % 2:
         # odd chunk: gather fallback (QA/odd-sized paths; the streaming
         # blocks align to pairs so the hot path stays on the MXU)
@@ -665,8 +678,24 @@ class DVBTPilots:
         return grid + spread.reshape(lead + (nsym, ncar))
 
     def extract(self, carriers, start_symbol: int = 0):
-        """[..., nsym, ncar] -> payload [..., nsym, payload_length]."""
+        """[..., nsym, ncar] -> payload [..., nsym, payload_length].
+
+        Payload positions depend on s%4 only, so for 4-aligned chunks the
+        gather uses FOUR static (payload,) index vectors on the phase-
+        grouped reshape instead of one materialized (nsym, payload) index
+        table — the 8k table (1088x6048 i32 = 26 MB) otherwise dominates
+        the compiled program and overflows the remote-compile body limit."""
         nsym = carriers.shape[-2]
+        if nsym % 4 == 0:
+            lead = carriers.shape[:-2]
+            ncar = carriers.shape[-1]
+            g = carriers.reshape(lead + (nsym // 4, 4, ncar))
+            outs = [g[..., p, :][..., jnp.asarray(
+                        self.payload_pos[(start_symbol + p) % 4],
+                        jnp.int32)]
+                    for p in range(4)]
+            out = jnp.stack(outs, axis=-2)
+            return out.reshape(lead + (nsym, self.cfg.payload_length))
         sidx = (start_symbol + np.arange(nsym)) % 272
         pos = jnp.asarray(self.payload_pos[sidx % 4])
         sym_ids = jnp.arange(nsym)[:, None]

@@ -196,7 +196,7 @@ def cc_decode_blockparallel(soft, frame_size: int, k: int, rate: int,
 
     def lane(o):
         return viterbi_combined(fsm, table, rate, TRELLIS_EUCLIDEAN, o,
-                                S0=-1, SK=-1)
+                                S0=-1, SK=-1, radix=4)
 
     dec = jax.vmap(lane)(obs)
     out = dec[:, overlap:overlap + block].reshape(-1)[:n]
@@ -413,6 +413,32 @@ class GF256:
         exp, log = jnp.asarray(self.exp), jnp.asarray(self.log)
         return exp[255 - log[a]]  # undefined at 0 (callers mask)
 
+    def mul_clmul(self, a, b):
+        """GF(2^8) multiply as a carry-less shift-XOR product + modular
+        reduction — pure elementwise VPU int ops, NO table gathers. The
+        log/exp-gather form costs 3 gathers per multiply; the ~400
+        multiplies in the unrolled Berlekamp-Massey/Forney decode path
+        made those gathers ~all of the 43 ms RS step on TPU."""
+        a = a.astype(jnp.int32)
+        b = b.astype(jnp.int32)
+        p = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.int32)
+        for i in range(8):
+            p = p ^ (jnp.where(((a >> i) & 1) == 1, b, 0) << i)
+        for bit in range(14, 7, -1):
+            p = p ^ jnp.where(((p >> bit) & 1) == 1,
+                              self.prim_poly << (bit - 8), 0)
+        return p
+
+    def inv_clmul(self, a):
+        """a^254 by square-and-multiply (13 mul_clmul) — gather-free
+        Fermat inverse; returns garbage at 0 like inv (callers mask)."""
+        sq = a
+        out = None
+        for bit in range(1, 8):        # 254 = bits 1..7
+            sq = self.mul_clmul(sq, sq)
+            out = sq if out is None else self.mul_clmul(out, sq)
+        return out
+
     def matvec(self, M_log, M_nz, v):
         """XOR-reduce_k M[., k] * v[k] with M given as log table + nonzero
         mask (precomputed host-side). v: [..., K] -> [..., J]."""
@@ -586,6 +612,10 @@ class ReedSolomon:
             full = rx
         S = self._apply_bitlin(full, "S", self.S_log, self.S_nz)
         batch = S.shape[:-1]
+        # gather-free GF ops for the unrolled BM/Omega/Forney below: the
+        # ~400 log/exp-gather multiplies measured ~all of a 43 ms RS step
+        # on TPU; the shift-XOR form is pure fused VPU work
+        _mul, _inv = gf.mul_clmul, gf.inv_clmul
 
         # Berlekamp-Massey, unrolled 2t iterations, arrays deg <= t
         Lam = jnp.zeros(batch + (t + 1,), jnp.int32).at[..., 0].set(1)
@@ -596,12 +626,12 @@ class ReedSolomon:
             # discrepancy d = sum_i Lam[i] * S[n_it - i]
             d = jnp.zeros(batch, jnp.int32)
             for i in range(min(t, n_it) + 1):
-                d = d ^ gf.mul(Lam[..., i], S[..., n_it - i])
-            coef = gf.mul(d, gf.inv(jnp.maximum(b, 1)))
+                d = d ^ _mul(Lam[..., i], S[..., n_it - i])
+            coef = _mul(d, _inv(jnp.maximum(b, 1)))
             # shifted B: x * B
             Bshift = jnp.concatenate(
                 [jnp.zeros(batch + (1,), jnp.int32), Bpoly[..., :-1]], axis=-1)
-            Lam_new = Lam ^ gf.mul(coef[..., None], Bshift)
+            Lam_new = Lam ^ _mul(coef[..., None], Bshift)
             upd = (d != 0)
             grow = upd & (2 * L <= n_it)
             Bpoly = jnp.where(grow[..., None], Lam, Bshift)
@@ -616,7 +646,7 @@ class ReedSolomon:
         for j in range(2 * t):
             acc = jnp.zeros(batch, jnp.int32)
             for i in range(min(j, t) + 1):
-                acc = acc ^ gf.mul(Lam[..., i], S[..., j - i])
+                acc = acc ^ _mul(Lam[..., i], S[..., j - i])
             Om = Om.at[..., j].set(acc)
 
         # Chien: V[p] = Lam(X_p^{-1}) over all 255 positions
@@ -631,8 +661,8 @@ class ReedSolomon:
         # Forney (fcr-general): e_p = X_p^{1-fcr} * Om(X^{-1}) / Lam'(X^{-1})
         Xp = self.Xpos  # [255]
         x_pow = gf.exp[(self.gf.log[Xp] * ((1 - self.fcr) % 255)) % 255]
-        num = gf.mul(x_pow[None] if batch else x_pow, Om_val)
-        mag = gf.mul(num, gf.inv(jnp.maximum(Lp_val, 1)))
+        num = _mul(x_pow[None] if batch else x_pow, Om_val)
+        mag = _mul(num, _inv(jnp.maximum(Lp_val, 1)))
         mag = jnp.where(err_here & (Lp_val != 0), mag, 0)
         corrected = full ^ mag
         nerr = jnp.sum(err_here, axis=-1)
